@@ -1,0 +1,153 @@
+"""Graph-level aggregation ops layered on the SpMM/SDDMM primitives.
+
+The capability surface of the reference's model layer:
+  * GCN symmetric-normalized aggregation — ≙ `GCNConv.forward`
+    (`pytorch-custom/op.py:111-148`): scale by 1/√deg_out, SpMM-aggregate,
+    scale by 1/√deg_in.
+  * GraphSAGE aggregators mean / gcn / pool — ≙ the `--aggregator-type`
+    surface of `dgl-custom/benchmark/sage/sage_dgl.py:181-182`.
+  * degree utilities and self-loop handling — ≙ `gcn_custom.py:29-49` and
+    the DGL benchmark's `--self-loop` flag (`gcn_dgl.py:214-216`).
+
+Everything is jittable and differentiable through the custom-VJP primitives.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from gespmm_tpu.ops.spmm import Adjacency, spmm
+from gespmm_tpu.ops.sddmm import sddmm
+from gespmm_tpu.sparse.formats import CSR, in_degrees, out_degrees
+
+Array = jax.Array
+
+
+def degree_norm(adj: Adjacency, power: float = -0.5, eps: float = 0.0):
+    """(out_norm, in_norm): per-node degree**power with 0-degree clamped to 1.
+
+    ≙ the cached `out_deg_sqrt` / `in_deg_sqrt` vectors of
+    `op.py:107-109,122-137`.
+    """
+    csr = adj.csr if isinstance(adj, Adjacency) else adj
+    dout = jnp.maximum(out_degrees(csr).astype(jnp.float32), 1.0) + eps
+    din = jnp.maximum(in_degrees(csr).astype(jnp.float32), 1.0) + eps
+    return dout**power, din**power
+
+
+def gcn_aggregate(
+    adj: Adjacency,
+    x: Array,
+    *,
+    out_norm: Optional[Array] = None,
+    in_norm: Optional[Array] = None,
+    method: str = "auto",
+) -> Array:
+    """Symmetric-normalized GCN aggregation: D_out^-1/2 · A · D_in^-1/2 · x.
+
+    Follows the exact scaling order of `GCNConv.forward` (`op.py:141-145`):
+    pre-scale x by the source-side norm, SpMM, post-scale by the
+    destination-side norm.  Pass precomputed norms to amortize (the
+    reference caches them per graph, `op.py:122-137`).
+    """
+    if out_norm is None or in_norm is None:
+        o, i = degree_norm(adj)
+        out_norm = o if out_norm is None else out_norm
+        in_norm = i if in_norm is None else in_norm
+    x = x * in_norm[:, None].astype(x.dtype)
+    agg = spmm(adj, x, reduce="sum", method=method)
+    return agg * out_norm[:, None].astype(agg.dtype)
+
+
+def sage_aggregate(
+    adj: Adjacency,
+    x: Array,
+    *,
+    aggregator: str = "mean",
+    method: str = "auto",
+) -> Array:
+    """Neighborhood aggregation for GraphSAGE.
+
+    aggregator:
+      "mean": mean of neighbor features (SpMM mean-reduce).
+      "gcn":  symmetric-norm aggregation including self (caller adds loops).
+      "pool": elementwise max of neighbor features (SpMM max-reduce) — the
+              caller applies the pre-pool MLP, per SAGEConv semantics.
+      "sum":  plain sum.
+    """
+    if aggregator == "mean":
+        return spmm(adj, x, reduce="mean", method=method)
+    if aggregator == "sum":
+        return spmm(adj, x, reduce="sum", method=method)
+    if aggregator == "pool":
+        return spmm(adj, x, reduce="max", method=method)
+    if aggregator == "gcn":
+        return gcn_aggregate(adj, x, method=method)
+    raise ValueError(f"unknown aggregator {aggregator!r}")
+
+
+def edge_softmax(adj: Adjacency, logits: Array) -> Array:
+    """Per-destination-row softmax over edge logits (attention precursor).
+
+    Not in the reference's op set, but the canonical consumer of SDDMM
+    (BASELINE.json benchmarks SDDMM as an "edge-softmax/attention
+    precursor"); provided so attention-style models compose from our
+    primitives.  logits: (nnz,) in CSR order; softmax within each row.
+    """
+    csr = adj.csr if isinstance(adj, Adjacency) else adj
+    rows = csr.row_ids()
+    m = csr.shape[0]
+    mx = jax.ops.segment_max(logits, rows, num_segments=m)
+    mx = jnp.where(jnp.isfinite(mx), mx, 0.0)
+    ex = jnp.exp(logits - mx[rows])
+    denom = jax.ops.segment_sum(ex, rows, num_segments=m)
+    return ex / jnp.maximum(denom, 1e-38)[rows]
+
+
+def gat_attention(
+    adj: Adjacency, q: Array, k: Array, *, method: str = "auto"
+) -> Array:
+    """Edge attention scores softmax(SDDMM(q, k)) — composes the two
+    primitives the way graph-attention layers do."""
+    scores = sddmm(adj, q, k, method=method)
+    return edge_softmax(adj, scores)
+
+
+def add_self_loops(csr: CSR, weight: float = 1.0) -> CSR:
+    """Host-side: A + weight·I (dedup: existing diagonal entries replaced).
+
+    ≙ the DGL benchmark's `--self-loop` graph preprocessing
+    (`gcn_dgl.py:214-216`, `sage_dgl.py` equivalents).  Not jittable (nnz
+    changes); call during graph construction.
+    """
+    import numpy as np
+
+    m, n = csr.shape
+    if m != n:
+        raise ValueError("self-loops need a square matrix")
+    indptr = np.asarray(csr.indptr)
+    indices = np.asarray(csr.indices)
+    data = (
+        np.ones(indices.shape[0], np.float32)
+        if csr.data is None
+        else np.asarray(csr.data)
+    )
+    rows = np.repeat(np.arange(m), np.diff(indptr))
+    keep = rows != indices
+    rows = np.concatenate([rows[keep], np.arange(m)])
+    cols = np.concatenate([indices[keep], np.arange(m)])
+    vals = np.concatenate([data[keep], np.full(m, weight, data.dtype)])
+    order = np.lexsort((cols, rows))
+    rows, cols, vals = rows[order], cols[order], vals[order]
+    counts = np.bincount(rows, minlength=m)
+    new_indptr = np.concatenate([[0], np.cumsum(counts)]).astype(np.int32)
+    out = CSR(
+        indptr=jnp.asarray(new_indptr),
+        indices=jnp.asarray(cols.astype(np.int32)),
+        data=jnp.asarray(vals),
+        shape=(m, n),
+    )
+    return out if csr.data is not None else out.with_data(out.data)

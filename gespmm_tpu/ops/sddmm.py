@@ -1,0 +1,120 @@
+"""SDDMM primitive: sampled dense-dense matmul with custom VJP.
+
+out[e] = D1[row(e), :] · D2[col(e), :] for every nonzero e of the sparsity
+pattern — the op surface of `pytorch-custom/sddmm.cpp:63-68` (`coo_sddmm`,
+`csr_sddmm`).  The reference exposes it forward-only; here it carries the
+natural VJP, which is a pair of SpMMs (grad_D1 = A(g) @ D2,
+grad_D2 = A(g)ᵀ @ D1) — the exact dual of SpMM's backward being an SDDMM.
+
+Dispatch mirrors ops/spmm.py: "auto" routes to the Pallas edge-chunk kernel
+on TPU, else the XLA gather-dot formulation.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Union
+
+import jax
+import jax.numpy as jnp
+
+from gespmm_tpu.sparse.formats import CSR, expand_indptr
+from gespmm_tpu.ops import reference as ref
+
+Array = jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class _SddmmConfig:
+    m: int
+    n: int
+    method: str
+
+
+def _forward(cfg: _SddmmConfig, rows, cols, D1, D2) -> Array:
+    method = cfg.method
+    if method == "auto":
+        from gespmm_tpu.kernels import sddmm_kernel_available
+
+        method = (
+            "pallas"
+            if jax.default_backend() == "tpu" and sddmm_kernel_available()
+            else "xla"
+        )
+    if method == "pallas":
+        from gespmm_tpu.kernels.sddmm_pallas import sddmm_pallas
+
+        return sddmm_pallas(rows, cols, D1, D2)
+    return ref.sddmm_xla(rows, cols, D1, D2)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _sddmm_core(cfg, rows, cols, D1, D2):
+    return _forward(cfg, rows, cols, D1, D2)
+
+
+def _sddmm_core_fwd(cfg, rows, cols, D1, D2):
+    return _forward(cfg, rows, cols, D1, D2), (rows, cols, D1, D2)
+
+
+def _sddmm_core_bwd(cfg, res, g):
+    rows, cols, D1, D2 = res
+    # grad_D1[r] = Σ_{e: row(e)=r} g[e] · D2[col(e)]  — an SpMM with edge
+    # values g over the COO pattern; likewise transposed for grad_D2.
+    grad_D1 = ref.spmm_rows_xla(
+        rows, cols, g, D2, cfg.m, reduce="sum", rows_sorted=True
+    ).astype(D1.dtype)
+    grad_D2 = ref.spmm_rows_xla(
+        cols, rows, g, D1, cfg.n, reduce="sum", rows_sorted=False
+    ).astype(D2.dtype)
+    return (None, None, grad_D1, grad_D2)
+
+
+_sddmm_core.defvjp(_sddmm_core_fwd, _sddmm_core_bwd)
+
+
+def sddmm_coo(
+    rows: Array,
+    cols: Array,
+    D1: Array,
+    D2: Array,
+    *,
+    shape=None,
+    method: str = "auto",
+) -> Array:
+    """SDDMM over an explicit COO pattern. Returns per-edge values.
+
+    ≙ `sddmm.coo_sddmm` (`sddmm.cpp:42-48` → `sddmm_cuda_coo`).
+    """
+    if D1.ndim != 2 or D2.ndim != 2 or D1.shape[1] != D2.shape[1]:
+        raise ValueError(f"D1 {D1.shape} / D2 {D2.shape} must be (m,K)/(n,K)")
+    m = D1.shape[0] if shape is None else shape[0]
+    n = D2.shape[0] if shape is None else shape[1]
+    cfg = _SddmmConfig(m=m, n=n, method=method)
+    return _sddmm_core(cfg, rows, cols, D1, D2)
+
+
+def sddmm(
+    adj: Union["CSR", "object"],
+    D1: Array,
+    D2: Array,
+    *,
+    method: str = "auto",
+) -> Array:
+    """SDDMM over a CSR/Adjacency pattern; per-edge values in CSR order.
+
+    ≙ `sddmm.csr_sddmm` (`sddmm.cpp:50-61`) — where the CUDA kernel recovers
+    each edge's row by binary search (`computeUtil.h:11-28`), we expand the
+    indptr once into row ids (cheap cumsum, fused by XLA).
+    """
+    from gespmm_tpu.ops.spmm import Adjacency
+
+    if isinstance(adj, Adjacency):
+        csr = adj.csr
+    else:
+        csr = adj
+    rows = expand_indptr(csr.indptr, csr.nnz)
+    return sddmm_coo(
+        rows, csr.indices, D1, D2, shape=csr.shape, method=method
+    )

@@ -1,0 +1,272 @@
+"""SpMM primitive with transpose-paired custom VJP and kernel dispatch.
+
+The structural insight carried over from the reference: **backward of SpMM is
+SpMM on Aᵀ** (`pytorch-custom/op.py:20-36` runs the CSC ordering in backward;
+DGL integration pairs in-CSR forward with out-CSR backward,
+`binary_reduce_sum.cu:455,491`).  We therefore carry both orderings in one
+`Adjacency` pytree, built once per graph, and the VJP never transposes at
+step time.
+
+Improvements over the reference:
+  * edge-value gradients ARE supported (the reference explicitly does not,
+    `op.py:22-27`): grad_vals = SDDMM(pattern, grad_out, B) — the natural
+    dual, computed by our SDDMM kernels.
+  * max/min reductions are differentiable (even tie-splitting, matching
+    `jnp.max`'s VJP), where the reference's max kernels are forward-only.
+  * mean reduction (DGL parity) built compositionally on sum.
+
+Dispatch (the TPU analogue of the K-based heuristic at
+`spmm_kernel.cu:186-206`): `method="auto"` picks the Pallas gather kernel on
+TPU when the adjacency carries a tile plan, else the XLA segment-reduce
+formulation.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Union
+
+import jax
+import jax.numpy as jnp
+
+from gespmm_tpu.sparse.formats import (
+    CSC,
+    CSR,
+    csr_to_csc,
+    expand_indptr,
+)
+from gespmm_tpu.ops import reference as ref
+
+Array = jax.Array
+
+
+# ---------------------------------------------------------------------------
+# Adjacency: CSR + CSC + permutation, the unit the op layer consumes
+# ---------------------------------------------------------------------------
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class Adjacency:
+    """A sparse matrix with both row- and column-compressed orderings.
+
+    ``perm`` maps CSC edge order -> CSR edge order: ``csc_data = data[perm]``.
+    ``plan`` / ``plan_t`` are optional Pallas tile plans for A and Aᵀ (built
+    eagerly on host by :meth:`from_csr` when ``plan=True``).
+    """
+
+    csr: CSR
+    csc: CSC
+    perm: Array
+    plan: Optional[object] = None
+    plan_t: Optional[object] = None
+
+    def tree_flatten(self):
+        return (self.csr, self.csc, self.perm, self.plan, self.plan_t), ()
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    @classmethod
+    def from_csr(cls, csr: CSR, plan: bool = False, **plan_kwargs) -> "Adjacency":
+        csc, perm = csr_to_csc(csr, return_permutation=True)
+        p = pt = None
+        if plan:
+            from gespmm_tpu.sparse.partition import build_spmm_plan
+
+            p = build_spmm_plan(csr, **plan_kwargs)
+            pt = build_spmm_plan(csc.as_csr_of_transpose(), **plan_kwargs)
+        return cls(csr=csr, csc=csc, perm=perm, plan=p, plan_t=pt)
+
+    @property
+    def shape(self):
+        return self.csr.shape
+
+    @property
+    def nnz(self) -> int:
+        return self.csr.nnz
+
+    @property
+    def data(self):
+        return self.csr.data
+
+    def with_data(self, data: Optional[Array]) -> "Adjacency":
+        csc_data = None if data is None else data[self.perm]
+        return Adjacency(
+            csr=self.csr.with_data(data),
+            csc=self.csc.with_data(csc_data),
+            perm=self.perm,
+            plan=self.plan,
+            plan_t=self.plan_t,
+        )
+
+    def transpose(self) -> "Adjacency":
+        """Adjacency of Aᵀ (cheap — reuses the paired orderings)."""
+        m, n = self.shape
+        t_csr = CSR(
+            indptr=self.csc.indptr,
+            indices=self.csc.indices,
+            data=self.csc.data,
+            shape=(n, m),
+        )
+        t_csc = CSC(
+            indptr=self.csr.indptr,
+            indices=self.csr.indices,
+            data=self.csr.data,
+            shape=(n, m),
+        )
+        # perm for Aᵀ: maps (csc of Aᵀ = csr of A) order -> (csr of Aᵀ = csc
+        # of A) order; that's the inverse permutation.
+        inv = jnp.zeros_like(self.perm).at[self.perm].set(
+            jnp.arange(self.perm.shape[0], dtype=self.perm.dtype)
+        )
+        return Adjacency(
+            csr=t_csr, csc=t_csc, perm=inv, plan=self.plan_t, plan_t=self.plan
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class _SpmmConfig:
+    """Static (hashable) op configuration for the custom-VJP core."""
+
+    reduce: str
+    m: int
+    n: int
+    method: str
+
+
+# ---------------------------------------------------------------------------
+# Forward dispatch
+# ---------------------------------------------------------------------------
+
+
+def _resolve_method(method: str, plan, K: int) -> str:
+    if method != "auto":
+        return method
+    if plan is not None and jax.default_backend() == "tpu":
+        from gespmm_tpu.kernels import spmm_kernel_available
+
+        if spmm_kernel_available():
+            return "pallas"
+    return "xla"
+
+
+def _forward(cfg: _SpmmConfig, indptr, indices, data, plan, B) -> Array:
+    method = _resolve_method(cfg.method, plan, B.shape[-1])
+    if method == "pallas" and plan is not None and cfg.reduce == "sum":
+        from gespmm_tpu.kernels.spmm_pallas import spmm_pallas
+
+        return spmm_pallas(plan, data, B, cfg.m)
+    return ref.spmm_xla(indptr, indices, data, B, reduce=cfg.reduce)
+
+
+# ---------------------------------------------------------------------------
+# custom_vjp core (sum / max / min; mean is compositional on sum)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _spmm_core(cfg, indptr, indices, t_indptr, t_indices, perm, plan, plan_t, data, B):
+    return _forward(cfg, indptr, indices, data, plan, B)
+
+
+def _spmm_core_fwd(cfg, indptr, indices, t_indptr, t_indices, perm, plan, plan_t, data, B):
+    out = _forward(cfg, indptr, indices, data, plan, B)
+    if cfg.reduce in ("max", "min"):
+        res = (indptr, indices, t_indptr, t_indices, perm, plan_t, data, B, out)
+    else:
+        res = (indptr, indices, t_indptr, t_indices, perm, plan_t, data, B, None)
+    return out, res
+
+
+def _spmm_core_bwd(cfg, res, g):
+    indptr, indices, t_indptr, t_indices, perm, plan_t, data, B, out = res
+    nnz = indices.shape[0]
+    rows = expand_indptr(indptr, nnz)
+
+    if cfg.reduce == "sum":
+        # grad_B = Aᵀ @ g — SpMM on the paired CSC ordering
+        # (≙ op.py:29 backward running csr_spmm on the CSC arrays).
+        t_data = None if data is None else data[perm]
+        t_cfg = _SpmmConfig(
+            reduce="sum", m=cfg.n, n=cfg.m, method=cfg.method
+        )
+        grad_B = _forward(t_cfg, t_indptr, t_indices, t_data, plan_t, g)
+        grad_data = None
+        if data is not None:
+            # grad_val[e] = g[row(e)] · B[col(e)] — SDDMM duality.
+            grad_data = ref.sddmm_xla(rows, indices, g, B).astype(data.dtype)
+    else:  # max / min — route gradient through achieving edges.
+        grad_contrib = ref.spmm_max_vjp_edges(
+            rows, indices, data, B, out, g, cfg.m
+        )  # [nnz, K] cotangent of val_e * B[col_e]
+        if data is not None:
+            scaled = grad_contrib * data[:, None].astype(grad_contrib.dtype)
+            grad_data = jnp.sum(
+                grad_contrib * jnp.take(B, indices, axis=0).astype(grad_contrib.dtype),
+                axis=-1,
+            ).astype(data.dtype)
+        else:
+            scaled = grad_contrib
+            grad_data = None
+        grad_B = jax.ops.segment_sum(
+            scaled, indices, num_segments=cfg.n
+        ).astype(B.dtype)
+
+    return (None, None, None, None, None, None, None, grad_data, grad_B.astype(B.dtype))
+
+
+_spmm_core.defvjp(_spmm_core_fwd, _spmm_core_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Public API
+# ---------------------------------------------------------------------------
+
+
+def spmm(
+    adj: Union[Adjacency, CSR],
+    B: Array,
+    *,
+    reduce: str = "sum",
+    method: str = "auto",
+) -> Array:
+    """C = reduce_e A[r, c_e] * B[c_e, :]  — sparse × dense.
+
+    Args:
+      adj: `Adjacency` (preferred — carries the transpose pairing and any
+        Pallas tile plan) or a bare `CSR` (transpose built on the fly).
+      B: dense matrix (n, K).
+      reduce: "sum" | "mean" | "max" | "min".
+      method: "auto" | "xla" | "pallas".
+
+    Differentiable in ``B`` and in ``adj``'s edge values (if present).
+    """
+    if isinstance(adj, CSR):
+        adj = Adjacency.from_csr(adj)
+    if B.ndim != 2:
+        raise ValueError(f"B must be rank 2, got shape {B.shape}")
+    m, n = adj.shape
+    if B.shape[0] != n:
+        raise ValueError(f"A is {adj.shape}, B is {B.shape}: inner dims differ")
+
+    if reduce == "mean":
+        out = spmm(adj, B, reduce="sum", method=method)
+        deg = (adj.csr.indptr[1:] - adj.csr.indptr[:-1]).astype(out.dtype)
+        return out / jnp.maximum(deg, 1.0)[:, None]
+
+    cfg = _SpmmConfig(reduce=reduce, m=m, n=n, method=method)
+    return _spmm_core(
+        cfg,
+        adj.csr.indptr,
+        adj.csr.indices,
+        adj.csc.indptr,
+        adj.csc.indices,
+        adj.perm,
+        adj.plan,
+        adj.plan_t,
+        adj.csr.data,
+        B,
+    )

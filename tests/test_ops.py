@@ -1,0 +1,144 @@
+"""SpMM / SDDMM numerics vs scipy golden at 1e-5 (SURVEY §4 target —
+tighter than the reference's 1e-2 tolerance at `spmm_test.cu:676`)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gespmm_tpu.ops.spmm import Adjacency, spmm
+from gespmm_tpu.ops.sddmm import sddmm, sddmm_coo
+from gespmm_tpu.ops import graph as gops
+from tests.conftest import powerlaw_csr, random_csr
+
+TOL = dict(rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("k", [1, 7, 32, 130])
+@pytest.mark.parametrize("binary", [False, True])
+def test_spmm_sum_matches_scipy(k, binary):
+    csr, mat = random_csr(57, 43, density=0.12, seed=k, binary=binary)
+    rng = np.random.default_rng(k)
+    B = rng.standard_normal((43, k)).astype(np.float32)
+    out = spmm(csr, jnp.asarray(B))
+    oracle = mat @ B
+    np.testing.assert_allclose(np.asarray(out), oracle, **TOL)
+
+
+def test_spmm_jit_and_adjacency():
+    csr, mat = random_csr(40, 40, density=0.1, seed=2)
+    adj = Adjacency.from_csr(csr)
+    B = np.random.default_rng(0).standard_normal((40, 16)).astype(np.float32)
+    f = jax.jit(lambda a, b: spmm(a, b))
+    out = f(adj, jnp.asarray(B))
+    np.testing.assert_allclose(np.asarray(out), mat @ B, **TOL)
+
+
+def test_spmm_empty_rows():
+    csr, mat = random_csr(64, 32, density=0.02, seed=5)
+    assert (np.diff(mat.indptr) == 0).any(), "fixture should have empty rows"
+    B = np.random.default_rng(1).standard_normal((32, 8)).astype(np.float32)
+    for reduce in ("sum", "mean", "max", "min"):
+        out = np.asarray(spmm(csr, jnp.asarray(B), reduce=reduce))
+        empty = np.diff(mat.indptr) == 0
+        assert np.all(out[empty] == 0), f"{reduce}: empty rows must be 0"
+
+
+@pytest.mark.parametrize("reduce", ["max", "min"])
+def test_spmm_maxmin_matches_dense(reduce):
+    csr, mat = random_csr(30, 25, density=0.15, seed=8)
+    B = np.random.default_rng(3).standard_normal((25, 12)).astype(np.float32)
+    out = np.asarray(spmm(csr, jnp.asarray(B), reduce=reduce))
+    # Dense oracle: per row, reduce over contributing edges.
+    dense = mat.toarray()
+    expect = np.zeros((30, 12), np.float32)
+    for r in range(30):
+        cols = mat.indices[mat.indptr[r] : mat.indptr[r + 1]]
+        vals = mat.data[mat.indptr[r] : mat.indptr[r + 1]]
+        if len(cols) == 0:
+            continue
+        contrib = vals[:, None] * B[cols]
+        expect[r] = contrib.max(0) if reduce == "max" else contrib.min(0)
+    np.testing.assert_allclose(out, expect, **TOL)
+
+
+def test_spmm_mean_matches_scipy():
+    csr, mat = random_csr(45, 33, density=0.1, seed=4)
+    B = np.random.default_rng(4).standard_normal((33, 9)).astype(np.float32)
+    out = np.asarray(spmm(csr, jnp.asarray(B), reduce="mean"))
+    deg = np.maximum(np.diff(mat.indptr), 1)
+    np.testing.assert_allclose(out, (mat @ B) / deg[:, None], **TOL)
+
+
+def test_spmm_powerlaw_structure():
+    csr, mat = powerlaw_csr(200, 150, avg_deg=6, seed=7)
+    B = np.random.default_rng(5).standard_normal((150, 33)).astype(np.float32)
+    out = np.asarray(spmm(csr, jnp.asarray(B)))
+    np.testing.assert_allclose(out, mat @ B, rtol=1e-4, atol=1e-4)
+
+
+def test_spmm_transpose_pairing():
+    csr, mat = random_csr(20, 35, density=0.12, seed=6)
+    adj = Adjacency.from_csr(csr)
+    t = adj.transpose()
+    B = np.random.default_rng(6).standard_normal((20, 10)).astype(np.float32)
+    out = np.asarray(spmm(t, jnp.asarray(B)))
+    np.testing.assert_allclose(out, mat.T @ B, **TOL)
+
+
+@pytest.mark.parametrize("k", [4, 32, 100])
+def test_sddmm_matches_scipy(k):
+    csr, mat = random_csr(48, 37, density=0.15, seed=k, binary=True)
+    rng = np.random.default_rng(k)
+    D1 = rng.standard_normal((48, k)).astype(np.float32)
+    D2 = rng.standard_normal((37, k)).astype(np.float32)
+    out = np.asarray(sddmm(csr, jnp.asarray(D1), jnp.asarray(D2)))
+    # Oracle: dense product sampled at the pattern.
+    full = D1 @ D2.T
+    rows = np.repeat(np.arange(48), np.diff(mat.indptr))
+    np.testing.assert_allclose(out, full[rows, mat.indices], rtol=1e-4, atol=1e-4)
+
+
+def test_sddmm_coo_matches_csr_order():
+    csr, mat = random_csr(25, 25, density=0.1, seed=12, binary=True)
+    rng = np.random.default_rng(12)
+    D1 = jnp.asarray(rng.standard_normal((25, 8)).astype(np.float32))
+    D2 = jnp.asarray(rng.standard_normal((25, 8)).astype(np.float32))
+    rows = np.repeat(np.arange(25), np.diff(mat.indptr)).astype(np.int32)
+    a = sddmm_coo(jnp.asarray(rows), csr.indices, D1, D2, shape=(25, 25))
+    b = sddmm(csr, D1, D2)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), **TOL)
+
+
+def test_gcn_aggregate_matches_manual():
+    csr, mat = random_csr(30, 30, density=0.15, seed=9)
+    adj = Adjacency.from_csr(csr)
+    x = np.random.default_rng(9).standard_normal((30, 11)).astype(np.float32)
+    out = np.asarray(gops.gcn_aggregate(adj, jnp.asarray(x)))
+    dout = np.maximum(np.diff(mat.indptr), 1).astype(np.float64)
+    din = np.maximum(np.asarray((mat != 0).sum(0)).ravel(), 1).astype(np.float64)
+    expect = (dout**-0.5)[:, None] * (mat @ ((din**-0.5)[:, None] * x))
+    np.testing.assert_allclose(out, expect, rtol=1e-4, atol=1e-4)
+
+
+def test_edge_softmax_rows_sum_to_one():
+    csr, mat = random_csr(22, 22, density=0.2, seed=10, binary=True)
+    adj = Adjacency.from_csr(csr)
+    logits = jnp.asarray(
+        np.random.default_rng(10).standard_normal(csr.nnz).astype(np.float32)
+    )
+    w = np.asarray(gops.edge_softmax(adj, logits))
+    rows = np.repeat(np.arange(22), np.diff(mat.indptr))
+    sums = np.zeros(22)
+    np.add.at(sums, rows, w)
+    nonempty = np.diff(mat.indptr) > 0
+    np.testing.assert_allclose(sums[nonempty], 1.0, rtol=1e-5)
+
+
+def test_add_self_loops():
+    csr, mat = random_csr(18, 18, density=0.1, seed=11)
+    out = gops.add_self_loops(csr, weight=2.5)
+    dense = np.asarray(out.todense())
+    expect = mat.toarray().copy()
+    np.fill_diagonal(expect, 2.5)
+    np.testing.assert_allclose(dense, expect, **TOL)
