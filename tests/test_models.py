@@ -1,0 +1,97 @@
+"""Model + training integration: GCN/SAGE must learn on a community graph.
+
+The reference's only instructed test is end-to-end training accuracy
+(SURVEY §4.3); our SBM fixture plays PubMed's role: broken kernels collapse
+accuracy to chance (1/num_classes).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gespmm_tpu.models.gcn import GCN
+from gespmm_tpu.models.sage import GraphSAGE
+from gespmm_tpu.ops.spmm import Adjacency
+from gespmm_tpu.ops.graph import add_self_loops
+from gespmm_tpu.train.loop import train_node_classifier
+from gespmm_tpu.utils.datasets import sbm_graph
+
+
+@pytest.fixture(scope="module")
+def sbm():
+    ds = sbm_graph(n_per_class=150, num_classes=3, p_in=0.06, p_out=0.004,
+                   feat_dim=32, signal=0.6, seed=0)
+    adj = Adjacency.from_csr(add_self_loops(ds.csr))
+    return ds, adj
+
+
+def test_gcn_learns_communities(sbm):
+    ds, adj = sbm
+    model = GCN(dims=[32, 32, ds.num_classes], dropout_rate=0.2)
+    res = train_node_classifier(
+        model, adj, ds.features, ds.labels, ds.masks,
+        epochs=60, lr=1e-2, seed=0,
+    )
+    assert res["test_acc"] > 0.85, f"GCN failed to learn: {res['test_acc']}"
+    # Loss must decrease.
+    assert res["history"]["loss"][-1] < res["history"]["loss"][0] * 0.5
+
+
+@pytest.mark.parametrize("aggregator", ["mean", "gcn", "pool"])
+def test_sage_learns_communities(sbm, aggregator):
+    ds, adj = sbm
+    model = GraphSAGE(
+        dims=[32, 32, ds.num_classes], aggregator=aggregator, dropout_rate=0.2
+    )
+    res = train_node_classifier(
+        model, adj, ds.features, ds.labels, ds.masks,
+        epochs=60, lr=1e-2, seed=1,
+    )
+    assert res["test_acc"] > 0.75, (
+        f"SAGE/{aggregator} failed: {res['test_acc']}"
+    )
+
+
+def test_gcn_forward_jits_and_is_deterministic(sbm):
+    ds, adj = sbm
+    model = GCN(dims=[32, 16, 3])
+    params = model.init(jax.random.PRNGKey(0))
+    f = jax.jit(lambda p, x: model.apply(p, adj, x))
+    a = f(params, ds.features)
+    b = f(params, ds.features)
+    assert jnp.array_equal(a, b)
+    assert a.shape == (ds.features.shape[0], 3)
+
+
+def test_checkpoint_roundtrip(tmp_path, sbm):
+    import optax
+
+    from gespmm_tpu.train.checkpoint import latest_checkpoint, restore, save
+    from gespmm_tpu.train.loop import TrainState
+
+    ds, adj = sbm
+    model = GCN(dims=[32, 8, 3])
+    params = model.init(jax.random.PRNGKey(0))
+    opt = optax.adamw(1e-2)
+    state = TrainState(params, opt.init(params), jnp.zeros((), jnp.int32))
+    save(str(tmp_path), state, 7)
+    path = latest_checkpoint(str(tmp_path))
+    assert path and path.endswith("ckpt_00000007.npz")
+    restored, epoch = restore(path, state)
+    assert epoch == 7
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state), jax.tree_util.tree_leaves(restored)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_rmat_generator():
+    from gespmm_tpu.utils.datasets import rmat_graph
+
+    csr = rmat_graph(scale=8, edge_factor=4, seed=0)
+    assert csr.shape == (256, 256)
+    assert csr.nnz > 256
+    deg = np.asarray(csr.row_lengths())
+    # Power-law-ish: max degree well above mean.
+    assert deg.max() > 4 * max(deg.mean(), 1)

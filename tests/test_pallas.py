@@ -1,0 +1,91 @@
+"""Pallas kernels vs the XLA reference ops — interpret mode on CPU.
+
+(Compiled-mode equivalence on real TPU hardware is exercised by bench.py
+and the verify flow; interpret mode checks the kernel logic itself.)
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gespmm_tpu.kernels.spmm_pallas import spmm_pallas
+from gespmm_tpu.kernels.sddmm_pallas import sddmm_pallas
+from gespmm_tpu.sparse.partition import build_spmm_plan
+from tests.conftest import powerlaw_csr, random_csr
+
+TOL = dict(rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("shape,density", [((50, 40), 0.15), ((100, 90), 0.05)])
+def test_spmm_pallas_interpret(shape, density):
+    csr, mat = random_csr(*shape, density=density, seed=1)
+    plan = build_spmm_plan(csr, rows_per_block=8, chunk_nnz=16)
+    B = np.random.default_rng(1).standard_normal((shape[1], 32)).astype(np.float32)
+    out = spmm_pallas(plan, csr.data, jnp.asarray(B), shape[0], k_tile=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), mat @ B, **TOL)
+
+
+def test_spmm_pallas_binary_interpret():
+    csr, mat = random_csr(40, 40, density=0.1, seed=2, binary=True)
+    plan = build_spmm_plan(csr, rows_per_block=8, chunk_nnz=16)
+    B = np.random.default_rng(2).standard_normal((40, 16)).astype(np.float32)
+    out = spmm_pallas(plan, None, jnp.asarray(B), 40, k_tile=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), mat @ B, **TOL)
+
+
+def test_spmm_pallas_powerlaw_megarows():
+    # Skewed rows spanning many chunks of the same block.
+    csr, mat = powerlaw_csr(64, 48, avg_deg=10, seed=3)
+    plan = build_spmm_plan(csr, rows_per_block=8, chunk_nnz=8)
+    B = np.random.default_rng(3).standard_normal((48, 8)).astype(np.float32)
+    out = spmm_pallas(plan, csr.data, jnp.asarray(B), 64, k_tile=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), mat @ B, rtol=1e-4, atol=1e-4)
+
+
+def test_spmm_pallas_k_tiling():
+    # K larger than one k_tile exercises the second grid dimension.
+    csr, mat = random_csr(30, 25, density=0.2, seed=4)
+    plan = build_spmm_plan(csr, rows_per_block=8, chunk_nnz=16)
+    B = np.random.default_rng(4).standard_normal((25, 300)).astype(np.float32)
+    out = spmm_pallas(plan, csr.data, jnp.asarray(B), 30, k_tile=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), mat @ B, **TOL)
+
+
+def test_sddmm_pallas_interpret():
+    csr, mat = random_csr(40, 35, density=0.12, seed=5, binary=True)
+    rows = np.repeat(np.arange(40), np.diff(mat.indptr)).astype(np.int32)
+    D1 = np.random.default_rng(5).standard_normal((40, 16)).astype(np.float32)
+    D2 = np.random.default_rng(6).standard_normal((35, 16)).astype(np.float32)
+    ev = sddmm_pallas(
+        jnp.asarray(rows), csr.indices, jnp.asarray(D1), jnp.asarray(D2),
+        chunk=32, interpret=True,
+    )
+    gold = (D1[rows] * D2[np.asarray(csr.indices)]).sum(-1)
+    np.testing.assert_allclose(np.asarray(ev), gold, **TOL)
+
+
+def test_sddmm_pallas_k_not_multiple_of_128():
+    csr, mat = random_csr(20, 20, density=0.2, seed=7, binary=True)
+    rows = np.repeat(np.arange(20), np.diff(mat.indptr)).astype(np.int32)
+    D1 = np.random.default_rng(7).standard_normal((20, 50)).astype(np.float32)
+    D2 = np.random.default_rng(8).standard_normal((20, 50)).astype(np.float32)
+    ev = sddmm_pallas(
+        jnp.asarray(rows), csr.indices, jnp.asarray(D1), jnp.asarray(D2),
+        chunk=32, interpret=True,
+    )
+    gold = (D1[rows] * D2[np.asarray(csr.indices)]).sum(-1)
+    np.testing.assert_allclose(np.asarray(ev), gold, rtol=1e-4, atol=1e-4)
+
+
+def test_plan_padding_and_shapes():
+    csr, mat = random_csr(30, 30, density=0.1, seed=8)
+    plan = build_spmm_plan(csr, rows_per_block=8, chunk_nnz=16)
+    assert plan.cols.shape == plan.local_rows.shape == plan.src.shape
+    assert plan.block_ids.shape[0] == plan.num_chunks
+    # Every chunk's first flag: exactly num_blocks ones.
+    assert int(np.asarray(plan.first).sum()) == plan.num_blocks
+    # Sentinel rows only on padded slots.
+    lr = np.asarray(plan.local_rows)
+    n_real = int((lr < plan.rows_per_block).sum())
+    assert n_real == csr.nnz
