@@ -168,3 +168,24 @@ def spmm_max_vjp_edges(
     weight = is_max / jnp.maximum(ties_rows, 1.0)
     g_rows = jnp.take(g, rows, axis=0).astype(acc)
     return g_rows * weight
+
+
+def spmm_scatter_xla(
+    rows: Array,
+    indices: Array,
+    data: Optional[Array],
+    B: Array,
+    m: int,
+) -> Array:
+    """Scatter/push-formulation SpMM: out[row_e] += val_e * B[col_e].
+
+    The XLA expression of the Gunrock baseline's per-edge atomicAdd
+    (`gunrock-test/app/spmm/spmm_enactor.cuh:92-105`) — kept as a benchmark
+    tier so the gather-vs-scatter comparison the GE-SpMM paper makes on GPU
+    can be reproduced on TPU (scatter lowers to XLA scatter-add instead of
+    segment-sum's sorted reduction).
+    """
+    contrib = _gather_scale(indices, data, B)
+    acc = jnp.promote_types(contrib.dtype, jnp.float32)
+    out = jnp.zeros((m, B.shape[1]), acc)
+    return out.at[rows].add(contrib.astype(acc)).astype(B.dtype)

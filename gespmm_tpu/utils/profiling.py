@@ -1,0 +1,77 @@
+"""Profiling and roofline analysis.
+
+Counterparts of the reference's two tracing mechanisms (SURVEY §5.1):
+cudaEvent timing loops -> `utils.timing.benchmark`; torch profiler tables ->
+`trace()` (jax.profiler, view in TensorBoard/XProf) plus `op_cost_table`
+(XLA's own HLO cost analysis — the closest thing to a per-kernel table
+without a viewer).
+"""
+
+from __future__ import annotations
+
+import contextlib
+from typing import Callable, Dict
+
+import jax
+
+
+@contextlib.contextmanager
+def trace(log_dir: str):
+    """jax.profiler trace context: `with trace('/tmp/trace'): step()`."""
+    with jax.profiler.trace(log_dir):
+        yield
+
+
+def op_cost_table(fn: Callable, *args) -> Dict[str, float]:
+    """Compile `fn(*args)` and return XLA's cost analysis.
+
+    Keys include 'flops', 'bytes accessed', 'transcendentals', etc.
+    """
+    lowered = jax.jit(fn).lower(*args)
+    compiled = lowered.compile()
+    try:
+        (analysis,) = [compiled.cost_analysis()] if isinstance(
+            compiled.cost_analysis(), dict
+        ) else [compiled.cost_analysis()[0]]
+    except (TypeError, IndexError):
+        analysis = compiled.cost_analysis()
+    return dict(analysis) if analysis else {}
+
+
+def spmm_roofline(
+    nnz: int, m: int, k: int, measured_s: float, hbm_gbps: float = 800.0
+) -> Dict[str, float]:
+    """Roofline for gather-SpMM: bytes = gathered B rows + indices + output.
+
+    `hbm_gbps` defaults to the v5e-class stream bandwidth; pass a measured
+    value for honest %-of-roofline reporting (BASELINE.md targets >=70%).
+    """
+    bytes_moved = nnz * k * 4 + nnz * 8 + m * k * 4
+    sol_s = bytes_moved / (hbm_gbps * 1e9)
+    flops = 2.0 * nnz * k
+    return {
+        "bytes_moved": float(bytes_moved),
+        "speed_of_light_s": sol_s,
+        "achieved_gflops": flops / measured_s / 1e9,
+        "sol_gflops": flops / sol_s / 1e9,
+        "fraction_of_roofline": sol_s / measured_s,
+    }
+
+
+def measure_hbm_bandwidth(size_mb: int = 256) -> float:
+    """Measured device stream bandwidth (GB/s) via a big reduction."""
+    import time
+
+    import jax.numpy as jnp
+
+    n = size_mb * (1 << 20) // 4
+    x = jnp.ones((n,), jnp.float32)
+    f = jax.jit(lambda a: jnp.sum(a))
+    f(x).block_until_ready()
+    t0 = time.perf_counter()
+    iters = 10
+    for _ in range(iters):
+        r = f(x)
+    r.block_until_ready()
+    dt = (time.perf_counter() - t0) / iters
+    return n * 4 / dt / 1e9

@@ -1,0 +1,106 @@
+"""Native C++ graph-IO vs the NumPy reference path (identical semantics)."""
+
+import numpy as np
+import pytest
+
+from gespmm_tpu.sparse import io as gio
+from gespmm_tpu.utils import native
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason="native library unavailable (no g++?)"
+)
+
+
+def _roundtrip(tmp_path, row, col, val, shape, symmetry="general"):
+    path = str(tmp_path / "g.mtx")
+    gio.write_mtx(path, row, col, val, shape, symmetry=symmetry)
+    py = gio.read_mtx(path, use_native=False)
+    nat = native.read_mtx_native(path)
+    assert nat is not None
+    ri, ci, vals, nshape = nat
+    assert nshape == tuple(py.shape)
+    np.testing.assert_array_equal(ri, np.asarray(py.row))
+    np.testing.assert_array_equal(ci, np.asarray(py.col))
+    np.testing.assert_allclose(vals, np.asarray(py.data), rtol=1e-6)
+
+
+def test_native_general(tmp_path):
+    rng = np.random.default_rng(0)
+    uniq = {(int(r), int(c)): rng.standard_normal()
+            for r, c in zip(rng.integers(0, 40, 80), rng.integers(0, 30, 80))}
+    row = np.array([k[0] for k in uniq])
+    col = np.array([k[1] for k in uniq])
+    val = np.array(list(uniq.values()), np.float32)
+    _roundtrip(tmp_path, row, col, val, (40, 30))
+
+
+def test_native_symmetric_with_self_loops(tmp_path):
+    row = np.array([1, 2, 2, 0, 3])
+    col = np.array([0, 0, 1, 0, 3])
+    val = np.array([1.0, 2.0, 3.0, 9.0, 4.0], np.float32)
+    _roundtrip(tmp_path, row, col, val, (4, 4), symmetry="symmetric")
+
+
+def test_native_pattern(tmp_path):
+    path = str(tmp_path / "p.mtx")
+    gio.write_mtx(path, [2, 0, 1], [0, 1, 2], None, (3, 3))
+    ri, ci, vals, shape = native.read_mtx_native(path)
+    np.testing.assert_array_equal(ri, [0, 1, 2])
+    np.testing.assert_array_equal(vals, np.ones(3, np.float32))
+
+
+def test_native_scientific_notation(tmp_path):
+    path = str(tmp_path / "s.mtx")
+    with open(path, "w") as f:
+        f.write("%%MatrixMarket matrix coordinate real general\n")
+        f.write("% a comment line\n")
+        f.write("2 2 2\n1 1 1.5e-3\n2 2 -2.25E+2\n")
+    ri, ci, vals, shape = native.read_mtx_native(path)
+    np.testing.assert_allclose(vals, [1.5e-3, -225.0], rtol=1e-6)
+
+
+def test_native_error_on_bad_file(tmp_path):
+    path = str(tmp_path / "bad.mtx")
+    with open(path, "w") as f:
+        f.write("%%MatrixMarket matrix array real general\n2 2\n1\n2\n3\n4\n")
+    with pytest.raises(ValueError, match="banner"):
+        native.read_mtx_native(path)
+
+
+def test_native_coo_to_csr():
+    rows = np.array([0, 0, 2, 2, 2, 5], np.int32)
+    indptr = native.coo_to_csr_native(rows, 6)
+    np.testing.assert_array_equal(indptr, [0, 2, 2, 5, 5, 5, 6])
+
+
+def test_native_csr_to_csc_matches_jax():
+    import jax.numpy as jnp
+
+    from gespmm_tpu.sparse.formats import csr_to_csc
+    from tests.conftest import random_csr
+
+    csr, mat = random_csr(37, 29, density=0.15, seed=3)
+    colptr, rows, perm = native.csr_to_csc_native(
+        np.asarray(csr.indptr), np.asarray(csr.indices), 37, 29
+    )
+    csc, jperm = csr_to_csc(csr, return_permutation=True)
+    np.testing.assert_array_equal(colptr, np.asarray(csc.indptr))
+    np.testing.assert_array_equal(rows, np.asarray(csc.indices))
+    np.testing.assert_array_equal(perm, np.asarray(jperm))
+
+
+def test_native_reader_used_by_default(tmp_path):
+    # read_mtx(use_native=True) must give identical results to the py path.
+    rng = np.random.default_rng(5)
+    uniq = {(int(r), int(c)): rng.standard_normal()
+            for r, c in zip(rng.integers(0, 25, 60), rng.integers(0, 25, 60))}
+    row = np.array([k[0] for k in uniq])
+    col = np.array([k[1] for k in uniq])
+    val = np.array(list(uniq.values()), np.float32)
+    path = str(tmp_path / "d.mtx")
+    gio.write_mtx(path, row, col, val, (25, 25), symmetry="symmetric")
+    a = gio.read_mtx(path, use_native=True)
+    b = gio.read_mtx(path, use_native=False)
+    np.testing.assert_array_equal(np.asarray(a.row), np.asarray(b.row))
+    np.testing.assert_array_equal(np.asarray(a.col), np.asarray(b.col))
+    np.testing.assert_allclose(np.asarray(a.data), np.asarray(b.data), rtol=1e-6)
