@@ -70,14 +70,19 @@ class Adjacency:
         return cls(*children)
 
     @classmethod
-    def from_csr(cls, csr: CSR, plan: bool = False, **plan_kwargs) -> "Adjacency":
+    def from_csr(cls, csr: CSR, plan=False, **plan_kwargs) -> "Adjacency":
+        """Build the paired adjacency.
+
+        plan: False (no Pallas tile plan) | True ("auto": grouped plan when
+        the graph has enough column locality, else per-row plan) |
+        "grouped" | "perrow".
+        """
         csc, perm = csr_to_csc(csr, return_permutation=True)
         p = pt = None
         if plan:
-            from gespmm_tpu.sparse.partition import build_spmm_plan
-
-            p = build_spmm_plan(csr, **plan_kwargs)
-            pt = build_spmm_plan(csc.as_csr_of_transpose(), **plan_kwargs)
+            kind = "auto" if plan is True else plan
+            p = _build_plan(csr, kind, plan_kwargs)
+            pt = _build_plan(csc.as_csr_of_transpose(), kind, plan_kwargs)
         return cls(csr=csr, csc=csc, perm=perm, plan=p, plan_t=pt)
 
     @property
@@ -141,14 +146,54 @@ class _SpmmConfig:
 # Forward dispatch
 # ---------------------------------------------------------------------------
 
+# Minimum group-dedup factor for the grouped kernel to beat per-row gathers.
+# Measured on v5e: at dedup ~2 the staged-byte amplification and the extra
+# MXU passes cancel the descriptor savings; the grouped tier only wins on
+# strongly banded structures.
+_GROUPED_MIN_DEDUP = 4.0
+
+
+def _build_plan(csr: CSR, kind: str, kwargs: dict):
+    """Plan-selection heuristic — the TPU analogue of the reference's
+    K-based kernel dispatch (`spmm_kernel.cu:186-206`), but driven by the
+    graph's measured column locality instead of the feature width."""
+    from gespmm_tpu.sparse.partition import (
+        build_grouped_plan,
+        build_spmm_plan,
+    )
+
+    import inspect
+
+    def call(builder):
+        sig = inspect.signature(builder)
+        kw = {k: v for k, v in kwargs.items() if k in sig.parameters}
+        return builder(csr, **kw)
+
+    if kind == "perrow":
+        return call(build_spmm_plan)
+    if kind == "grouped":
+        return call(build_grouped_plan)
+    if kind == "auto":
+        grouped = call(build_grouped_plan)
+        if grouped.dedup_factor >= _GROUPED_MIN_DEDUP:
+            return grouped
+        return call(build_spmm_plan)
+    raise ValueError(f"unknown plan kind {kind!r}")
+
 
 def _resolve_method(method: str, plan, K: int) -> str:
     if method != "auto":
         return method
     if plan is not None and jax.default_backend() == "tpu":
         from gespmm_tpu.kernels import spmm_kernel_available
+        from gespmm_tpu.sparse.partition import GroupedSpmmPlan
 
-        if spmm_kernel_available():
+        # Measured on v5e: scattered row fetches are latency-bound at
+        # ~28ns/row and the XLA formulations already sit at that wall, so
+        # the hand kernels only win when the plan reduces the number of
+        # fetches — i.e. a grouped plan on a high-locality graph (the
+        # "auto" plan builder only emits one when dedup >= threshold).
+        if isinstance(plan, GroupedSpmmPlan) and spmm_kernel_available():
             return "pallas"
     return "xla"
 
@@ -156,10 +201,16 @@ def _resolve_method(method: str, plan, K: int) -> str:
 def _forward(cfg: _SpmmConfig, indptr, indices, data, plan, B) -> Array:
     method = _resolve_method(cfg.method, plan, B.shape[-1])
     if method == "pallas" and plan is not None and cfg.reduce == "sum":
+        from gespmm_tpu.sparse.partition import GroupedSpmmPlan
+
+        if isinstance(plan, GroupedSpmmPlan):
+            from gespmm_tpu.kernels.spmm_grouped import spmm_grouped
+
+            return spmm_grouped(plan, data, B, cfg.m)
         from gespmm_tpu.kernels.spmm_pallas import spmm_pallas
 
         return spmm_pallas(plan, data, B, cfg.m)
-    return ref.spmm_xla(indptr, indices, data, B, reduce=cfg.reduce)
+    return ref.spmm_best_xla(indptr, indices, data, B, reduce=cfg.reduce)
 
 
 # ---------------------------------------------------------------------------

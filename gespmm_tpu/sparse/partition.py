@@ -168,3 +168,143 @@ def build_spmm_plan(
         nnz=nnz,
         num_blocks=num_blocks,
     )
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class GroupedSpmmPlan:
+    """Group-deduplicated chunk layout (the locality-aware fast path).
+
+    Instead of one DMA per nonzero, each chunk gathers its DISTINCT aligned
+    G-row groups of B once (one DMA per group, G·K·4 bytes), and every edge
+    reads its row from the staged buffer through a slot index.  On
+    locality-reordered graphs (sparse/reorder.py) the dedup factor is ~2x+,
+    which halves the descriptor count — the binding resource for scattered
+    gathers on TPU (measured ~25-35ns/descriptor regardless of size below
+    ~4KB).
+
+    Arrays (C chunks, NG groups/chunk, E edges/chunk, S = NG*G slots):
+      groups:     (C, NG) int32 — aligned group ids (pad -> 0)
+      slots:      (C, E)  int32 — staged row per edge: pos(group)*G + col%G
+      local_rows: (C, E)  int32 — row within block (pad -> R sentinel)
+      src:        (C, E)  int32 — CSR edge index per slot (pad -> 0)
+      block_ids:  (C,)    int32
+      first:      (C,)    int32
+    """
+
+    groups: jax.Array
+    slots: jax.Array
+    local_rows: jax.Array
+    src: jax.Array
+    block_ids: jax.Array
+    first: jax.Array
+    rows_per_block: int
+    edges_per_chunk: int
+    groups_per_chunk: int
+    group_rows: int
+    shape: Tuple[int, int]
+    nnz: int
+    num_blocks: int
+
+    def tree_flatten(self):
+        arrays = (self.groups, self.slots, self.local_rows, self.src,
+                  self.block_ids, self.first)
+        aux = (self.rows_per_block, self.edges_per_chunk,
+               self.groups_per_chunk, self.group_rows, self.shape,
+               self.nnz, self.num_blocks)
+        return arrays, aux
+
+    @classmethod
+    def tree_unflatten(cls, aux, arrays):
+        return cls(*arrays, *aux)
+
+    @property
+    def num_chunks(self) -> int:
+        return int(self.groups.shape[0])
+
+    @property
+    def dedup_factor(self) -> float:
+        """Average edges served per gathered group slot (incl. padding)."""
+        return self.nnz / max(self.num_chunks * self.groups_per_chunk, 1)
+
+    def chunk_data(self, data) -> jax.Array:
+        vals = jnp.take(data, self.src.reshape(-1), axis=0)
+        vals = vals.reshape(self.src.shape)
+        return jnp.where(self.local_rows < self.rows_per_block, vals, 0)
+
+
+def build_grouped_plan(
+    csr,
+    rows_per_block: int = 64,
+    edges_per_chunk: int = 64,
+    groups_per_chunk: int = 32,
+    group_rows: int = 8,
+) -> "GroupedSpmmPlan":
+    """Greedy chunk packing under BOTH limits (edges <= E, groups <= NG)."""
+    if rows_per_block % 8:
+        raise ValueError("rows_per_block must be a multiple of 8")
+    indptr = np.asarray(csr.indptr)
+    indices = np.asarray(csr.indices)
+    m, n = csr.shape
+    nnz = int(indices.shape[0])
+    R, E, NG, G = rows_per_block, edges_per_chunk, groups_per_chunk, group_rows
+    num_blocks = max((m + R - 1) // R, 1)
+    rows_of_edge = np.repeat(np.arange(m, dtype=np.int32), np.diff(indptr))
+
+    chunks = []  # (block, groups list, edges: (local_row, slot, src))
+    for b in range(num_blocks):
+        s = int(indptr[min(b * R, m)])
+        e = int(indptr[min((b + 1) * R, m)])
+        pos = s
+        first_of_block = True
+        while pos < e or first_of_block:
+            gmap = {}
+            edges = []
+            while pos < e and len(edges) < E:
+                col = int(indices[pos])
+                gid = col // G
+                if gid not in gmap:
+                    if len(gmap) == NG:
+                        break
+                    gmap[gid] = len(gmap)
+                slot = gmap[gid] * G + col % G
+                edges.append((int(rows_of_edge[pos]) - b * R, slot, pos))
+                pos += 1
+            chunks.append((b, list(gmap.keys()), edges, first_of_block))
+            first_of_block = False
+
+    C = len(chunks)
+    # Shrink NG to the widest chunk actually produced: the kernel issues NG
+    # DMA descriptors per chunk unconditionally, so unused group slots cost
+    # real descriptors.
+    NG = max(max((len(gl) for _, gl, _, _ in chunks), default=1), 1)
+    groups = np.zeros((C, NG), np.int32)
+    slots = np.zeros((C, E), np.int32)
+    local_rows = np.full((C, E), R, np.int32)
+    src = np.zeros((C, E), np.int32)
+    block_ids = np.zeros((C,), np.int32)
+    first = np.zeros((C,), np.int32)
+    for c, (b, gl, edges, is_first) in enumerate(chunks):
+        block_ids[c] = b
+        first[c] = 1 if is_first else 0
+        groups[c, : len(gl)] = gl
+        for i, (lr, slot, sidx) in enumerate(edges):
+            local_rows[c, i] = lr
+            slots[c, i] = slot
+            src[c, i] = sidx
+
+    return GroupedSpmmPlan(
+        groups=jnp.asarray(groups),
+        slots=jnp.asarray(slots),
+        local_rows=jnp.asarray(local_rows),
+        src=jnp.asarray(src),
+        block_ids=jnp.asarray(block_ids),
+        first=jnp.asarray(first),
+        rows_per_block=R,
+        edges_per_chunk=E,
+        groups_per_chunk=NG,
+        group_rows=G,
+        shape=(m, n),
+        nnz=nnz,
+        num_blocks=num_blocks,
+    )

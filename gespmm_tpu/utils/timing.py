@@ -42,10 +42,11 @@ def benchmark(
         out = fn()
     jax.block_until_ready(out)
     times = []
-    # Batch iterations between fences to avoid dispatch-latency floor, but
-    # keep several fenced groups for a median.
-    groups = 10
-    per_group = max(iters // groups, 1)
+    # Batch iterations between fences to avoid the dispatch-latency floor
+    # (large on remote/tunneled devices), but keep several fenced groups
+    # for a median.
+    per_group = max(20, iters // 10)
+    groups = max(3, iters // per_group)
     for _ in range(groups):
         t0 = time.perf_counter()
         for _ in range(per_group):

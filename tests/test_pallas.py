@@ -89,3 +89,91 @@ def test_plan_padding_and_shapes():
     lr = np.asarray(plan.local_rows)
     n_real = int((lr < plan.rows_per_block).sum())
     assert n_real == csr.nnz
+
+
+# ---------------------------------------------------------------------------
+# Grouped-gather kernel
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("binary", [True, False])
+def test_spmm_grouped_interpret(binary):
+    from gespmm_tpu.kernels.spmm_grouped import spmm_grouped
+    from gespmm_tpu.sparse.partition import build_grouped_plan
+
+    csr, mat = random_csr(60, 50, density=0.12, seed=1, binary=binary)
+    plan = build_grouped_plan(
+        csr, rows_per_block=8, edges_per_chunk=16,
+        groups_per_chunk=8, group_rows=8,
+    )
+    B = np.random.default_rng(1).standard_normal((50, 40)).astype(np.float32)
+    out = spmm_grouped(plan, csr.data, jnp.asarray(B), 60, k_tile=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), mat @ B, rtol=1e-5, atol=1e-5)
+
+
+def test_spmm_grouped_k_tiling_powerlaw():
+    from gespmm_tpu.kernels.spmm_grouped import spmm_grouped
+    from gespmm_tpu.sparse.partition import build_grouped_plan
+
+    csr, mat = powerlaw_csr(80, 64, avg_deg=8, seed=2)
+    plan = build_grouped_plan(
+        csr, rows_per_block=8, edges_per_chunk=16,
+        groups_per_chunk=8, group_rows=8,
+    )
+    B = np.random.default_rng(2).standard_normal((64, 300)).astype(np.float32)
+    out = spmm_grouped(plan, csr.data, jnp.asarray(B), 80, k_tile=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), mat @ B, rtol=1e-4, atol=1e-4)
+
+
+def test_grouped_plan_invariants():
+    from gespmm_tpu.sparse.partition import build_grouped_plan
+
+    csr, _ = random_csr(40, 40, density=0.15, seed=3)
+    plan = build_grouped_plan(
+        csr, rows_per_block=8, edges_per_chunk=16,
+        groups_per_chunk=4, group_rows=8,
+    )
+    lr = np.asarray(plan.local_rows)
+    slots = np.asarray(plan.slots)
+    groups = np.asarray(plan.groups)
+    cols = np.asarray(csr.indices)
+    src = np.asarray(plan.src)
+    real = lr < plan.rows_per_block
+    assert int(real.sum()) == csr.nnz
+    # Every real edge's staged slot points at its own column.
+    for c in range(plan.num_chunks):
+        for e in range(plan.edges_per_chunk):
+            if not real[c, e]:
+                continue
+            slot = slots[c, e]
+            gid = groups[c, slot // plan.group_rows]
+            col = gid * plan.group_rows + slot % plan.group_rows
+            assert col == cols[src[c, e]]
+
+
+def test_plan_auto_selection():
+    from gespmm_tpu.ops.spmm import Adjacency
+    from gespmm_tpu.sparse.partition import GroupedSpmmPlan, SpmmPlan
+
+    # Random graph: low locality -> per-row plan.
+    csr, _ = random_csr(200, 200, density=0.01, seed=4)
+    adj = Adjacency.from_csr(
+        csr, plan=True, rows_per_block=8, edges_per_chunk=16,
+        groups_per_chunk=16, group_rows=8, chunk_nnz=16,
+    )
+    assert isinstance(adj.plan, SpmmPlan)
+    # Banded graph: high locality -> grouped plan.
+    import scipy.sparse as sp
+
+    from gespmm_tpu.sparse.formats import csr_from_scipy
+
+    band = sp.diags(
+        [np.ones(200)] * 7, offsets=list(range(-3, 4)), shape=(200, 200)
+    ).tocsr().astype(np.float32)
+    band.sort_indices()
+    bcsr = csr_from_scipy(band)
+    adj2 = Adjacency.from_csr(
+        bcsr, plan=True, rows_per_block=8, edges_per_chunk=16,
+        groups_per_chunk=16, group_rows=8, chunk_nnz=16,
+    )
+    assert isinstance(adj2.plan, GroupedSpmmPlan)
