@@ -1,0 +1,96 @@
+"""Distributed SpMM weak-scaling benchmark.
+
+The new-capability benchmark (BASELINE.md: >=80% weak-scaling nnz/s
+efficiency at 4 hosts): row-partitioned SpMM over a (data,) mesh with the
+problem size grown proportionally to the device count, reporting nnz/s and
+efficiency vs the single-device run.
+
+On real pods run under `jax.distributed`; without hardware it runs on the
+virtual CPU mesh (JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_
+device_count=8), which validates the sharding/collective structure but not
+ICI bandwidth.
+
+Run:  python -m gespmm_tpu.bench.dist_bench --devices 1 2 4 8 --scale 13
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def bench_weak_scaling(devices_list, scale, k, edge_factor, iters=20):
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from gespmm_tpu.parallel.dist_spmm import dist_spmm, partition_adjacency
+    from gespmm_tpu.parallel.mesh import make_mesh
+    from gespmm_tpu.utils.datasets import rmat_graph
+
+    results = []
+    base_rate = None
+    for nd in devices_list:
+        if nd > len(jax.devices()):
+            print(json.dumps({"devices": nd, "skipped": "not enough devices"}))
+            continue
+        # Weak scaling: grow nodes with device count (edges grow ~linearly).
+        extra = int(np.log2(nd))
+        csr = rmat_graph(scale=scale + extra, edge_factor=edge_factor, seed=0)
+        mesh = make_mesh(data=nd, model=1, devices=jax.devices()[:nd])
+        padj = partition_adjacency(csr, nd)
+        n = csr.shape[1]
+        B = jnp.asarray(
+            np.random.default_rng(0).standard_normal((n, k)).astype(np.float32)
+        )
+        # Pad rows of B to shard cleanly over the mesh.
+        n_pad = ((n + nd - 1) // nd) * nd
+        B = jnp.pad(B, ((0, n_pad - n), (0, 0)))
+        B = jax.device_put(B, NamedSharding(mesh, P("data", None)))
+
+        fn = jax.jit(
+            lambda p, b: dist_spmm(p, b, mesh, model_axis=None)
+        )
+        fn(padj, B).block_until_ready()
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn(padj, B)
+        out.block_until_ready()
+        dt = (time.perf_counter() - t0) / iters
+        rate = csr.nnz / dt
+        if base_rate is None:
+            base_rate = rate / nd  # per-device rate at 1 device
+        eff = rate / (base_rate * nd)
+        row = {
+            "devices": nd,
+            "nodes": csr.shape[0],
+            "nnz": csr.nnz,
+            "k": k,
+            "ms": round(dt * 1e3, 3),
+            "nnz_per_s": round(rate, 0),
+            "weak_scaling_efficiency": round(eff, 4),
+        }
+        results.append(row)
+        print(json.dumps(row))
+    return results
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--devices", nargs="+", type=int, default=[1, 2, 4, 8])
+    p.add_argument("--scale", type=int, default=13,
+                   help="log2 nodes at 1 device")
+    p.add_argument("--k", type=int, default=64)
+    p.add_argument("--edge-factor", type=int, default=16)
+    p.add_argument("--iters", type=int, default=20)
+    args = p.parse_args(argv)
+    bench_weak_scaling(
+        args.devices, args.scale, args.k, args.edge_factor, args.iters
+    )
+
+
+if __name__ == "__main__":
+    main()

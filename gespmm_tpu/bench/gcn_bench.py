@@ -30,6 +30,11 @@ def main(argv=None):
     p.add_argument("--self-loop", action="store_true", default=True)
     p.add_argument("--no-self-loop", dest="self_loop", action="store_false")
     p.add_argument("--method", default="auto", choices=["auto", "xla", "pallas"])
+    p.add_argument(
+        "--impl", default="ours", choices=["ours", "bcoo"],
+        help="'bcoo' trains the identical model on stock "
+        "jax.experimental.sparse (the gcn_pyg.py-style A/B baseline)",
+    )
     p.add_argument("--plan", action="store_true",
                    help="build Pallas tile plans for the adjacency")
     p.add_argument("--profile-dir", default="",
@@ -59,7 +64,13 @@ def main(argv=None):
         + [args.n_hidden] * (args.n_layers - 1)
         + [ds.num_classes]
     )
-    model = GCN(dims=dims, dropout_rate=args.dropout, method=args.method)
+    if args.impl == "bcoo":
+        from gespmm_tpu.models.baselines import GCNBcoo
+
+        model = GCNBcoo(dims=dims, dropout_rate=args.dropout)
+        adj = GCNBcoo.from_adjacency(adj)
+    else:
+        model = GCN(dims=dims, dropout_rate=args.dropout, method=args.method)
 
     def run():
         return train_node_classifier(
@@ -80,8 +91,9 @@ def main(argv=None):
     print(json.dumps({
         "dataset": ds.name,
         "n": int(ds.features.shape[0]),
-        "nnz": adj.nnz,
+        "nnz": csr.nnz,
         "dims": dims,
+        "impl": args.impl,
         "method": args.method,
         "epochs": args.n_epochs,
         "mean_epoch_time_ms": round(res["mean_epoch_time"] * 1e3, 3),

@@ -25,8 +25,10 @@ def main(argv=None):
     p.add_argument("--dropout", type=float, default=0.5)
     p.add_argument(
         "--aggregator-type", default="mean",
-        choices=["mean", "gcn", "pool", "sum"],
+        choices=["mean", "gcn", "pool", "sum", "lstm"],
     )
+    p.add_argument("--max-neighbors", type=int, default=32,
+                   help="lstm aggregator: neighbor sample cap per node")
     p.add_argument("--method", default="auto", choices=["auto", "xla", "pallas"])
     p.add_argument("--log-every", type=int, default=20)
     args = p.parse_args(argv)
@@ -47,9 +49,17 @@ def main(argv=None):
         + [args.n_hidden] * (args.n_layers - 1)
         + [ds.num_classes]
     )
+    neighbor_table = None
+    if args.aggregator_type == "lstm":
+        from gespmm_tpu.models.sage_lstm import build_neighbor_table
+
+        neighbor_table = build_neighbor_table(
+            ds.csr, max_neighbors=args.max_neighbors
+        )
     model = GraphSAGE(
         dims=dims, aggregator=args.aggregator_type,
         dropout_rate=args.dropout, method=args.method,
+        neighbor_table=neighbor_table,
     )
     res = train_node_classifier(
         model, adj, ds.features, ds.labels, ds.masks,

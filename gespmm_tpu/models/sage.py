@@ -38,10 +38,28 @@ def sage_conv_init(key, in_dim, out_dim, aggregator="mean", bias=True):
         p["neigh"] = dense_init(k2, in_dim, out_dim, bias=bias)
     if aggregator == "pool":
         p["pool"] = dense_init(k3, in_dim, in_dim, bias=True)
+    if aggregator == "lstm":
+        from gespmm_tpu.models.sage_lstm import lstm_cell_init
+
+        p["lstm"] = lstm_cell_init(k3, in_dim, in_dim)
     return p
 
 
-def sage_conv_apply(p, adj: Adjacency, x: Array, aggregator="mean", method="auto"):
+def sage_conv_apply(
+    p, adj: Adjacency, x: Array, aggregator="mean", method="auto",
+    neighbor_table=None,
+):
+    if aggregator == "lstm":
+        from gespmm_tpu.models.sage_lstm import lstm_aggregate
+
+        if neighbor_table is None:
+            raise ValueError(
+                "aggregator='lstm' needs a neighbor_table "
+                "(models.sage_lstm.build_neighbor_table)"
+            )
+        nbrs, mask = neighbor_table
+        agg = lstm_aggregate(p["lstm"], x, nbrs, mask)
+        return dense_apply(p["self"], x) + dense_apply(p["neigh"], agg)
     if aggregator == "mean":
         agg = spmm(adj, x, reduce="mean", method=method)
         return dense_apply(p["self"], x) + dense_apply(p["neigh"], agg)
@@ -60,12 +78,19 @@ def sage_conv_apply(p, adj: Adjacency, x: Array, aggregator="mean", method="auto
 
 @dataclasses.dataclass(frozen=True)
 class GraphSAGE:
-    """n-layer GraphSAGE. `dims = [in, hidden..., out]`."""
+    """n-layer GraphSAGE. `dims = [in, hidden..., out]`.
+
+    For `aggregator="lstm"` attach a per-graph neighbor table
+    (`models.sage_lstm.build_neighbor_table`) — either here or per call.
+    """
 
     dims: Sequence[int]
     aggregator: str = "mean"
     dropout_rate: float = 0.5
     method: str = "auto"
+    neighbor_table: object = dataclasses.field(
+        default=None, compare=False, hash=False
+    )
 
     @property
     def n_layers(self) -> int:
@@ -88,6 +113,7 @@ class GraphSAGE:
         *,
         training: bool = False,
         rng: Optional[Array] = None,
+        neighbor_table=None,
     ) -> Array:
         h = x
         for i in range(self.n_layers):
@@ -95,7 +121,12 @@ class GraphSAGE:
                 rng, sub = jax.random.split(rng)
                 h = dropout(sub, h, self.dropout_rate, training)
             h = sage_conv_apply(
-                params[f"layer_{i}"], adj, h, self.aggregator, self.method
+                params[f"layer_{i}"], adj, h, self.aggregator, self.method,
+                neighbor_table=(
+                    neighbor_table
+                    if neighbor_table is not None
+                    else self.neighbor_table
+                ),
             )
             if i < self.n_layers - 1:
                 h = jax.nn.relu(h)

@@ -179,15 +179,15 @@ def spmm_best_xla(
 ) -> Array:
     """K-heuristic XLA dispatch (measured on v5e, ≙ the reference's K-based
     kernel choice at `spmm_kernel.cu:186-206`): scattered row fetches cost
-    ~28ns each regardless of K, and for K <= 128 the scatter-add
-    formulation shaves ~5-10% over gather+segment-sum; wider K favors the
-    sorted segment reduction."""
+    ~28ns each regardless of K, and for 16 <= K <= 64 the scatter-add
+    formulation shaves ~5-10% over gather+segment-sum; outside that window
+    the sorted segment reduction wins."""
     from gespmm_tpu.sparse.formats import expand_indptr
 
     m = indptr.shape[0] - 1
     if (
         reduce == "sum"
-        and B.shape[-1] <= 128
+        and 16 <= B.shape[-1] <= 64
         and jax.default_backend() == "tpu"
     ):
         rows = expand_indptr(indptr, indices.shape[0])

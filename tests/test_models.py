@@ -95,3 +95,29 @@ def test_rmat_generator():
     deg = np.asarray(csr.row_lengths())
     # Power-law-ish: max degree well above mean.
     assert deg.max() > 4 * max(deg.mean(), 1)
+
+
+def test_sage_lstm_aggregator_learns(sbm):
+    from gespmm_tpu.models.sage_lstm import build_neighbor_table
+
+    ds, adj = sbm
+    nt = build_neighbor_table(ds.csr, max_neighbors=16)
+    model = GraphSAGE(
+        dims=[32, 32, ds.num_classes], aggregator="lstm",
+        dropout_rate=0.2, neighbor_table=nt,
+    )
+    res = train_node_classifier(
+        model, adj, ds.features, ds.labels, ds.masks,
+        epochs=40, lr=1e-2, seed=2,
+    )
+    assert res["test_acc"] > 0.6, f"SAGE/lstm failed: {res['test_acc']}"
+
+
+def test_sage_lstm_requires_table(sbm):
+    import pytest as _pytest
+
+    ds, adj = sbm
+    model = GraphSAGE(dims=[32, 8, 3], aggregator="lstm")
+    params = model.init(jax.random.PRNGKey(0))
+    with _pytest.raises(ValueError, match="neighbor_table"):
+        model.apply(params, adj, ds.features)
