@@ -70,7 +70,9 @@ def main(argv=None):
         model = GCNBcoo(dims=dims, dropout_rate=args.dropout)
         adj = GCNBcoo.from_adjacency(adj)
     else:
-        model = GCN(dims=dims, dropout_rate=args.dropout, method=args.method)
+        model = GCN(
+            dims=dims, dropout_rate=args.dropout, method=args.method
+        ).with_norms(adj)
 
     def run():
         return train_node_classifier(

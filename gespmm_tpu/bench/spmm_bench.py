@@ -60,8 +60,27 @@ def bench_graph(
     )
     rng = np.random.default_rng(seed)
     results = {}
-    for K in ks:
-        B = jnp.asarray(rng.standard_normal((n, K)).astype(np.float32))
+
+    def is_oom(e: Exception) -> bool:
+        s = str(e)
+        return "RESOURCE_EXHAUSTED" in s or "Ran out of memory" in s
+
+    for K_req in ks:
+        # OOM-halving retry, ≙ the reference's max_ncols halving loop
+        # (`spmm_test.cu:619-634`): if a width doesn't fit, benchmark the
+        # largest power-of-two fraction that does and record the fallback.
+        K = K_req
+        while K >= 1:
+            try:
+                B = jnp.asarray(
+                    rng.standard_normal((n, K)).astype(np.float32)
+                )
+                jax.block_until_ready(B)
+                break
+            except Exception as e:
+                if not is_oom(e) or K == 1:
+                    raise
+                K //= 2
         for method in methods:
             try:
                 fn = jax.jit(
@@ -69,13 +88,20 @@ def bench_graph(
                 )
                 r = timing.benchmark(lambda: fn(B), iters=iters)
                 gf = r.gflops(timing.spmm_flops(csr.nnz, K))
-                results[(K, method)] = {
+                results[(K_req, method)] = {
                     "ms": r.mean_s * 1e3,
                     "gflops": gf,
                     "nnz_per_s": r.rate(csr.nnz),
+                    **({"k_fallback": K} if K != K_req else {}),
                 }
             except Exception as e:  # pragma: no cover
-                results[(K, method)] = {"error": str(e)[:200]}
+                if is_oom(e) and K > 1:
+                    K //= 2
+                    B = jnp.asarray(
+                        rng.standard_normal((n, K)).astype(np.float32)
+                    )
+                    continue
+                results[(K_req, method)] = {"error": str(e)[:200]}
 
     row = {"data": name, "m": m, "n": n, "nnz": csr.nnz}
     for (K, method), v in results.items():

@@ -35,6 +35,13 @@ class GCN:
     dropout_rate: float = 0.5
     bias: bool = True
     method: str = "auto"  # SpMM kernel dispatch
+    # Optional per-graph cached (out_norm, in_norm) — the analogue of the
+    # reference's cached norm vectors (`op.py:122-137`).  Attach with
+    # `model.with_norms(adj)` so training steps skip the degree reduction.
+    norms: object = dataclasses.field(default=None, compare=False, hash=False)
+
+    def with_norms(self, adj: "Adjacency") -> "GCN":
+        return dataclasses.replace(self, norms=degree_norm(adj))
 
     @property
     def n_layers(self) -> int:
@@ -65,7 +72,7 @@ class GCN:
         the fly otherwise (cache it for training loops).
         """
         if norms is None:
-            norms = degree_norm(adj)
+            norms = self.norms if self.norms is not None else degree_norm(adj)
         out_norm, in_norm = norms
         h = x
         for i in range(self.n_layers):

@@ -176,6 +176,7 @@ def spmm_best_xla(
     data: Optional[Array],
     B: Array,
     reduce: str = "sum",
+    rows: Optional[Array] = None,
 ) -> Array:
     """K-heuristic XLA dispatch (measured on v5e, ≙ the reference's K-based
     kernel choice at `spmm_kernel.cu:186-206`): scattered row fetches cost
@@ -190,8 +191,11 @@ def spmm_best_xla(
         and 16 <= B.shape[-1] <= 64
         and jax.default_backend() == "tpu"
     ):
-        rows = expand_indptr(indptr, indices.shape[0])
+        if rows is None:
+            rows = expand_indptr(indptr, indices.shape[0])
         return spmm_scatter_xla(rows, indices, data, B, m)
+    if rows is not None:
+        return spmm_rows_xla(rows, indices, data, B, m, reduce=reduce)
     return spmm_xla(indptr, indices, data, B, reduce=reduce)
 
 

@@ -61,9 +61,17 @@ class Adjacency:
     perm: Array
     plan: Optional[object] = None
     plan_t: Optional[object] = None
+    # Precomputed per-nonzero row ids for CSR and CSC order (the expanded
+    # indptr): computed once per graph so no per-call cumsum over nnz runs
+    # inside jitted steps.
+    rows: Optional[Array] = None
+    rows_t: Optional[Array] = None
 
     def tree_flatten(self):
-        return (self.csr, self.csc, self.perm, self.plan, self.plan_t), ()
+        return (
+            self.csr, self.csc, self.perm, self.plan, self.plan_t,
+            self.rows, self.rows_t,
+        ), ()
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -83,7 +91,12 @@ class Adjacency:
             kind = "auto" if plan is True else plan
             p = _build_plan(csr, kind, plan_kwargs)
             pt = _build_plan(csc.as_csr_of_transpose(), kind, plan_kwargs)
-        return cls(csr=csr, csc=csc, perm=perm, plan=p, plan_t=pt)
+        rows = expand_indptr(csr.indptr, csr.nnz)
+        rows_t = expand_indptr(csc.indptr, csc.nnz)
+        return cls(
+            csr=csr, csc=csc, perm=perm, plan=p, plan_t=pt,
+            rows=rows, rows_t=rows_t,
+        )
 
     @property
     def shape(self):
@@ -105,6 +118,8 @@ class Adjacency:
             perm=self.perm,
             plan=self.plan,
             plan_t=self.plan_t,
+            rows=self.rows,
+            rows_t=self.rows_t,
         )
 
     def transpose(self) -> "Adjacency":
@@ -128,7 +143,8 @@ class Adjacency:
             jnp.arange(self.perm.shape[0], dtype=self.perm.dtype)
         )
         return Adjacency(
-            csr=t_csr, csc=t_csc, perm=inv, plan=self.plan_t, plan_t=self.plan
+            csr=t_csr, csc=t_csc, perm=inv, plan=self.plan_t,
+            plan_t=self.plan, rows=self.rows_t, rows_t=self.rows,
         )
 
 
@@ -198,7 +214,7 @@ def _resolve_method(method: str, plan, K: int) -> str:
     return "xla"
 
 
-def _forward(cfg: _SpmmConfig, indptr, indices, data, plan, B) -> Array:
+def _forward(cfg: _SpmmConfig, indptr, indices, data, plan, B, rows=None) -> Array:
     method = _resolve_method(cfg.method, plan, B.shape[-1])
     if method == "pallas" and plan is not None and cfg.reduce == "sum":
         from gespmm_tpu.sparse.partition import GroupedSpmmPlan
@@ -210,7 +226,9 @@ def _forward(cfg: _SpmmConfig, indptr, indices, data, plan, B) -> Array:
         from gespmm_tpu.kernels.spmm_pallas import spmm_pallas
 
         return spmm_pallas(plan, data, B, cfg.m)
-    return ref.spmm_best_xla(indptr, indices, data, B, reduce=cfg.reduce)
+    return ref.spmm_best_xla(
+        indptr, indices, data, B, reduce=cfg.reduce, rows=rows
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -219,23 +237,24 @@ def _forward(cfg: _SpmmConfig, indptr, indices, data, plan, B) -> Array:
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _spmm_core(cfg, indptr, indices, t_indptr, t_indices, perm, plan, plan_t, data, B):
-    return _forward(cfg, indptr, indices, data, plan, B)
+def _spmm_core(cfg, indptr, indices, rows, t_indptr, t_indices, t_rows,
+               perm, plan, plan_t, data, B):
+    return _forward(cfg, indptr, indices, data, plan, B, rows=rows)
 
 
-def _spmm_core_fwd(cfg, indptr, indices, t_indptr, t_indices, perm, plan, plan_t, data, B):
-    out = _forward(cfg, indptr, indices, data, plan, B)
-    if cfg.reduce in ("max", "min"):
-        res = (indptr, indices, t_indptr, t_indices, perm, plan_t, data, B, out)
-    else:
-        res = (indptr, indices, t_indptr, t_indices, perm, plan_t, data, B, None)
+def _spmm_core_fwd(cfg, indptr, indices, rows, t_indptr, t_indices, t_rows,
+                   perm, plan, plan_t, data, B):
+    out = _forward(cfg, indptr, indices, data, plan, B, rows=rows)
+    keep_out = out if cfg.reduce in ("max", "min") else None
+    res = (indptr, indices, rows, t_indptr, t_indices, t_rows, perm,
+           plan_t, data, B, keep_out)
     return out, res
 
 
 def _spmm_core_bwd(cfg, res, g):
-    indptr, indices, t_indptr, t_indices, perm, plan_t, data, B, out = res
+    (indptr, indices, rows, t_indptr, t_indices, t_rows, perm, plan_t,
+     data, B, out) = res
     nnz = indices.shape[0]
-    rows = expand_indptr(indptr, nnz)
 
     if cfg.reduce == "sum":
         # grad_B = Aᵀ @ g — SpMM on the paired CSC ordering
@@ -244,12 +263,17 @@ def _spmm_core_bwd(cfg, res, g):
         t_cfg = _SpmmConfig(
             reduce="sum", m=cfg.n, n=cfg.m, method=cfg.method
         )
-        grad_B = _forward(t_cfg, t_indptr, t_indices, t_data, plan_t, g)
+        grad_B = _forward(t_cfg, t_indptr, t_indices, t_data, plan_t, g,
+                          rows=t_rows)
         grad_data = None
         if data is not None:
             # grad_val[e] = g[row(e)] · B[col(e)] — SDDMM duality.
+            if rows is None:
+                rows = expand_indptr(indptr, nnz)
             grad_data = ref.sddmm_xla(rows, indices, g, B).astype(data.dtype)
     else:  # max / min — route gradient through achieving edges.
+        if rows is None:
+            rows = expand_indptr(indptr, nnz)
         grad_contrib = ref.spmm_max_vjp_edges(
             rows, indices, data, B, out, g, cfg.m
         )  # [nnz, K] cotangent of val_e * B[col_e]
@@ -266,7 +290,8 @@ def _spmm_core_bwd(cfg, res, g):
             scaled, indices, num_segments=cfg.n
         ).astype(B.dtype)
 
-    return (None, None, None, None, None, None, None, grad_data, grad_B.astype(B.dtype))
+    return (None, None, None, None, None, None, None, None, None,
+            grad_data, grad_B.astype(B.dtype))
 
 
 _spmm_core.defvjp(_spmm_core_fwd, _spmm_core_bwd)
@@ -313,8 +338,10 @@ def spmm(
         cfg,
         adj.csr.indptr,
         adj.csr.indices,
+        adj.rows,
         adj.csc.indptr,
         adj.csc.indices,
+        adj.rows_t,
         adj.perm,
         adj.plan,
         adj.plan_t,
