@@ -35,6 +35,8 @@ def bench_graph(
     csv_file: Optional[str] = None,
     seed: int = 0,
     scale_if_synth: int = 16,
+    validate: bool = False,
+    tol: float = 1e-4,
 ):
     import jax
     import jax.numpy as jnp
@@ -81,11 +83,36 @@ def bench_graph(
                 if not is_oom(e) or K == 1:
                     raise
                 K //= 2
+        golden = None
+        if validate:
+            # Opt-in golden check, ≙ `#define VALIDATE` + the CPU triple
+            # loop at `spmm_test.cu:595-604,671-698` — but vectorized scipy
+            # and at a 100x tighter tolerance.
+            import scipy.sparse as sp
+
+            A = sp.csr_matrix(
+                (
+                    np.ones(csr.nnz, np.float32)
+                    if csr.data is None
+                    else np.asarray(csr.data),
+                    np.asarray(csr.indices),
+                    np.asarray(csr.indptr),
+                ),
+                shape=csr.shape,
+            )
+            golden = A @ np.asarray(B)
         for method in methods:
             try:
                 fn = jax.jit(
                     lambda b, _m=method: spmm(adj, b, method=_m)
                 )
+                if golden is not None:
+                    err = float(np.abs(np.asarray(fn(B)) - golden).max())
+                    if err > tol:
+                        results[(K_req, method)] = {
+                            "error": f"VALIDATION FAILED: err={err:.2e}"
+                        }
+                        continue
                 r = timing.benchmark(lambda: fn(B), iters=iters)
                 gf = r.gflops(timing.spmm_flops(csr.nnz, K))
                 results[(K_req, method)] = {
@@ -125,13 +152,16 @@ def main(argv=None):
     p.add_argument("--csv", default="spmm_bench_out.csv")
     p.add_argument("--rows-per-block", type=int, default=64)
     p.add_argument("--chunk-nnz", type=int, default=64)
+    p.add_argument("--validate", action="store_true",
+                   help="golden-check each config vs scipy before timing")
+    p.add_argument("--tol", type=float, default=1e-4)
     args = p.parse_args(argv)
 
     for g in args.graphs:
         row, _ = bench_graph(
             g, args.k, iters=args.iters, methods=tuple(args.methods),
             rows_per_block=args.rows_per_block, chunk_nnz=args.chunk_nnz,
-            csv_file=args.csv,
+            csv_file=args.csv, validate=args.validate, tol=args.tol,
         )
         print(json.dumps(row))
 

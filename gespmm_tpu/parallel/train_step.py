@@ -1,0 +1,122 @@
+"""Sharded GNN training over a (data, model) mesh.
+
+The multi-device training capability the single-GPU reference lacks
+(SURVEY §2.3): a full GCN training step jitted over a 2-D mesh —
+
+  * "data" axis: graph rows partitioned (PartitionedAdjacency); activations
+    and labels row-sharded; the SpMM halo exchange is the all-gather inside
+    `parallel.dist_spmm` (backward: autodiff-derived psum_scatter);
+  * "model" axis: feature/hidden dims sharded; first-layer weights
+    column-sharded, output-layer weights row-sharded (contraction inserts
+    the psum), optimizer state follows the parameters.
+
+Used by `__graft_entry__.dryrun_multichip` and testable on a virtual CPU
+mesh; on real hardware call `parallel.mesh.maybe_distributed_init` first.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from gespmm_tpu.models.common import dense_init
+from gespmm_tpu.parallel.dist_spmm import (
+    PartitionedAdjacency,
+    dist_spmm,
+    partition_adjacency,
+)
+from gespmm_tpu.train.loop import masked_nll_loss
+
+Array = jax.Array
+
+
+def shard_gcn_params(params: Dict, mesh: Mesh) -> Dict:
+    """Place a 2-layer GCN param pytree with model-axis sharding."""
+    w1_sh = {
+        "w": NamedSharding(mesh, P(None, "model")),
+        "b": NamedSharding(mesh, P("model")),
+    }
+    w2_sh = {
+        "w": NamedSharding(mesh, P("model", None)),
+        "b": NamedSharding(mesh, P(None)),
+    }
+    sh = {"l1": w1_sh, "l2": w2_sh}
+    return jax.tree.map(
+        lambda a, s: jax.device_put(a, s),
+        params,
+        sh,
+        is_leaf=lambda t: isinstance(t, jax.Array),
+    )
+
+
+def build_sharded_gcn(
+    csr,
+    feat_dim: int,
+    hidden: int,
+    classes: int,
+    mesh: Mesh,
+    lr: float = 1e-2,
+    seed: int = 0,
+):
+    """Returns (train_step, init_state, prepare_inputs, padj).
+
+    `train_step(params, opt_state, x, labels, mask)` is jitted over the
+    mesh; `prepare_inputs` pads + shards node-indexed arrays.
+    """
+    data_axis = mesh.shape["data"]
+    padj = partition_adjacency(csr, data_axis)
+    m_pad = padj.num_parts * padj.rows_per_part
+    n = csr.shape[0]
+
+    key = jax.random.PRNGKey(seed)
+    k1, k2 = jax.random.split(key)
+    params = {
+        "l1": dense_init(k1, feat_dim, hidden),
+        "l2": dense_init(k2, hidden, classes),
+    }
+    params = shard_gcn_params(params, mesh)
+    opt = optax.adamw(lr)
+    opt_state = jax.device_put(
+        opt.init(params), NamedSharding(mesh, P())
+    )
+
+    def prepare_inputs(x, labels, mask):
+        def pad_rows(a):
+            return jnp.pad(
+                a, ((0, m_pad - a.shape[0]),) + ((0, 0),) * (a.ndim - 1)
+            )
+
+        x = jax.device_put(
+            pad_rows(x), NamedSharding(mesh, P("data", "model"))
+        )
+        labels = jax.device_put(
+            pad_rows(labels), NamedSharding(mesh, P("data"))
+        )
+        mask = jax.device_put(
+            pad_rows(mask), NamedSharding(mesh, P("data"))
+        )
+        return x, labels, mask
+
+    def forward(params, x):
+        h = x @ params["l1"]["w"] + params["l1"]["b"]
+        h = dist_spmm(padj, h, mesh, reduce="mean")
+        h = jax.nn.relu(h)
+        logits = h @ params["l2"]["w"] + params["l2"]["b"]
+        return dist_spmm(padj, logits, mesh, reduce="mean", model_axis=None)
+
+    def loss_fn(params, x, labels, mask):
+        lp = jax.nn.log_softmax(forward(params, x), axis=-1)
+        return masked_nll_loss(lp, labels, mask)
+
+    @jax.jit
+    def train_step(params, opt_state, x, labels, mask):
+        loss, grads = jax.value_and_grad(loss_fn)(params, x, labels, mask)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return train_step, (params, opt_state), prepare_inputs, padj

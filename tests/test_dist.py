@@ -99,3 +99,22 @@ def test_dist_spmm_jit_and_edge_values():
     f = jax.jit(lambda p, b: dist_spmm(p, b, mesh, model_axis=None))
     out = np.asarray(f(padj, B))[:32]
     np.testing.assert_allclose(out, mat @ np.asarray(B_host), **TOL)
+
+
+def test_sharded_gcn_train_step_loss_decreases():
+    from gespmm_tpu.ops.graph import add_self_loops
+    from gespmm_tpu.parallel.train_step import build_sharded_gcn
+    from gespmm_tpu.utils.datasets import sbm_graph
+
+    mesh = make_mesh(data=4, model=2)
+    ds = sbm_graph(n_per_class=32 * 4, num_classes=4, feat_dim=32, seed=0)
+    csr = add_self_loops(ds.csr)
+    step, (params, opt_state), prepare, _ = build_sharded_gcn(
+        csr, 32, 16, 4, mesh
+    )
+    x, labels, mask = prepare(ds.features, ds.labels, ds.masks["train"])
+    losses = []
+    for _ in range(8):
+        params, opt_state, loss = step(params, opt_state, x, labels, mask)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0] * 0.9, losses

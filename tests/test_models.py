@@ -121,3 +121,16 @@ def test_sage_lstm_requires_table(sbm):
     params = model.init(jax.random.PRNGKey(0))
     with _pytest.raises(ValueError, match="neighbor_table"):
         model.apply(params, adj, ds.features)
+
+
+def test_gat_learns_communities(sbm):
+    from gespmm_tpu.models.gat import GAT
+
+    ds, adj = sbm
+    model = GAT(dims=[32, 32, ds.num_classes], dropout_rate=0.2)
+    res = train_node_classifier(
+        model, adj, ds.features, ds.labels, ds.masks,
+        epochs=60, lr=1e-2, seed=3,
+    )
+    assert res["test_acc"] > 0.8, f"GAT failed: {res['test_acc']}"
+

@@ -1,0 +1,73 @@
+"""Profiling/timing utilities and dtype coverage."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gespmm_tpu.ops.spmm import Adjacency, spmm
+from gespmm_tpu.utils import profiling, timing
+from tests.conftest import random_csr
+
+
+def test_benchmark_returns_sane_result():
+    f = jax.jit(lambda x: x * 2.0)
+    x = jnp.ones((128, 128))
+    r = timing.benchmark(lambda: f(x), iters=30)
+    assert r.mean_s > 0 and r.best_s <= r.median_s
+    assert r.gflops(1e9 * r.mean_s) == 1.0  # definition check
+
+
+def test_op_cost_table():
+    cost = profiling.op_cost_table(
+        lambda a, b: a @ b, jnp.ones((64, 64)), jnp.ones((64, 64))
+    )
+    assert isinstance(cost, dict)
+    assert cost.get("flops", 0) > 0
+
+
+def test_spmm_roofline_math():
+    r = profiling.spmm_roofline(nnz=1000, m=100, k=128, measured_s=1e-3)
+    assert r["bytes_moved"] == 1000 * 128 * 4 + 1000 * 8 + 100 * 128 * 4
+    assert 0 < r["fraction_of_roofline"] < 1
+    assert r["achieved_gflops"] > 0
+
+
+def test_spmm_bf16():
+    csr, mat = random_csr(40, 35, density=0.15, seed=1)
+    adj = Adjacency.from_csr(csr)
+    B = jnp.asarray(
+        np.random.default_rng(1).standard_normal((35, 16)), jnp.bfloat16
+    )
+    out = spmm(adj, B)
+    assert out.dtype == jnp.bfloat16
+    oracle = mat @ np.asarray(B.astype(jnp.float32))
+    # bf16 storage, f32 accumulate: tolerance at bf16 resolution.
+    np.testing.assert_allclose(
+        np.asarray(out.astype(jnp.float32)), oracle, rtol=3e-2, atol=3e-2
+    )
+
+
+def test_gcn_trains_in_bf16():
+    from gespmm_tpu.models.gcn import GCN
+    from gespmm_tpu.train.loop import make_train_step, TrainState
+    import optax
+
+    from gespmm_tpu.utils.datasets import sbm_graph
+
+    ds = sbm_graph(n_per_class=50, num_classes=3, feat_dim=16, seed=2)
+    adj = Adjacency.from_csr(ds.csr)
+    model = GCN(dims=[16, 8, 3], dropout_rate=0.0)
+    params = model.init(jax.random.PRNGKey(0))
+    opt = optax.adam(1e-2)
+    state = TrainState(params, opt.init(params), jnp.zeros((), jnp.int32))
+    step = make_train_step(model, opt)
+    x16 = ds.features.astype(jnp.bfloat16)
+    losses = []
+    for i in range(5):
+        state, loss = step(
+            state, adj, x16, ds.labels, ds.masks["train"],
+            jax.random.PRNGKey(i),
+        )
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
