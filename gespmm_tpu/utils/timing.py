@@ -1,9 +1,18 @@
 """Benchmark timing utilities.
 
 TPU-correct counterpart of the reference's cudaEvent loops
-(`spmm_test.cu:714-762`): warmup compile + `block_until_ready` fencing,
-median-of-runs, and the same throughput definitions —
-GFLOPs = 2·nnz·K / time (`spmm_test.cu:728`) plus nnz/s.
+(`spmm_test.cu:714-762`): warmup compile, fenced timing, median-of-groups,
+and the same throughput definitions — GFLOPs = 2·nnz·K / time
+(`spmm_test.cu:728`) plus nnz/s.
+
+Methodology note (important on remote/tunneled TPU runtimes): on some
+platforms `jax.block_until_ready` returns before device execution finishes,
+while any device->host transfer drains the execution queue (one RTT, which
+can be tens of ms through a tunnel).  We therefore time *groups* of
+dispatches followed by a tiny scalar fetch — the device executes the queue
+FIFO, so the fetch fences the whole group — and subtract a separately
+measured fetch-only round-trip baseline.  Per-iteration time is
+(group_time - rtt) / group_size, reported as min/median/mean over groups.
 """
 
 from __future__ import annotations
@@ -13,6 +22,8 @@ from dataclasses import dataclass
 from typing import Callable
 
 import jax
+import jax.numpy as jnp
+import numpy as np
 
 
 @dataclass
@@ -29,36 +40,90 @@ class BenchResult:
         return count / self.mean_s
 
 
+def _fence(out) -> float:
+    """Drain the device queue: fetch one scalar from the output pytree."""
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    return float(np.asarray(jax.device_get(jnp.ravel(leaf)[:1]))[0])
+
+
+def measure_rtt(out, reps: int = 3) -> float:
+    """Fetch-only round trip for an already-computed output (baseline)."""
+    _fence(out)
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        _fence(out)
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
 def benchmark(
     fn: Callable[[], jax.Array],
     iters: int = 200,
     warmup: int = 3,
 ) -> BenchResult:
-    """Time a device computation. `fn` must return a jax array (fenced).
+    """Time a device computation with queue-fenced groups.
 
     200 timed iterations matches the reference's ITER (`spmm_test.cu:714`).
+    `fn` must return a jax array (or pytree of arrays).
     """
-    for _ in range(warmup):
+    out = None
+    for _ in range(max(warmup, 1)):
         out = fn()
-    jax.block_until_ready(out)
+    rtt = measure_rtt(out)
+
+    per_group = max(10, iters // 10)
+    groups = max(4, iters // per_group)
     times = []
-    # Batch iterations between fences to avoid the dispatch-latency floor
-    # (large on remote/tunneled devices), but keep several fenced groups
-    # for a median.
-    per_group = max(20, iters // 10)
-    groups = max(3, iters // per_group)
     for _ in range(groups):
         t0 = time.perf_counter()
         for _ in range(per_group):
             out = fn()
-        jax.block_until_ready(out)
-        times.append((time.perf_counter() - t0) / per_group)
+        _fence(out)
+        dt = time.perf_counter() - t0 - rtt
+        times.append(max(dt, 1e-9) / per_group)
     times.sort()
     return BenchResult(
         mean_s=sum(times) / len(times),
         median_s=times[len(times) // 2],
         best_s=times[0],
         iters=groups * per_group,
+    )
+
+
+def benchmark_chained(
+    step: Callable[[jax.Array], jax.Array],
+    x0: jax.Array,
+    iters: int = 50,
+    groups: int = 4,
+) -> BenchResult:
+    """Pure device steady-state: `iters` data-chained steps inside ONE jit.
+
+    Eliminates per-dispatch overhead entirely (the analogue of the
+    reference timing only kernel execution with cudaEvents,
+    `spmm_test.cu:730-760`).  `step` must map an array to an array of the
+    same shape/dtype; successive applications are data-dependent so the
+    compiler cannot elide or overlap them.
+    """
+
+    @jax.jit
+    def chain(x):
+        return jax.lax.fori_loop(0, iters, lambda i, v: step(v), x)
+
+    out = chain(x0)
+    rtt = measure_rtt(out)
+    times = []
+    for _ in range(groups):
+        t0 = time.perf_counter()
+        out = chain(x0)
+        _fence(out)
+        times.append(max(time.perf_counter() - t0 - rtt, 1e-9) / iters)
+    times.sort()
+    return BenchResult(
+        mean_s=sum(times) / len(times),
+        median_s=times[len(times) // 2],
+        best_s=times[0],
+        iters=groups * iters,
     )
 
 
