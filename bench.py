@@ -7,6 +7,10 @@ largest bundled graph).  `vs_baseline` compares our auto-dispatched op to
 the stock JAX sparse library (`jax.experimental.sparse` BCOO) — the
 "custom kernels vs vendor library" framing of gespmm-vs-cuSPARSE in
 `spmm_test.cu:714-762`, with BCOO playing cuSPARSE's role on TPU.
+
+Timing: `timing.benchmark_chained` — data-dependent iterations fused in a
+single jit, fenced by a scalar fetch with the tunnel round-trip subtracted
+(pure device steady-state; see utils/timing.py).
 """
 
 import json
@@ -36,26 +40,31 @@ def main():
     adj = Adjacency.from_csr(csr, plan=True)
     B = jnp.asarray(
         np.random.default_rng(0).standard_normal((n, K)).astype(np.float32)
+        * 0.01
     )
 
     flops = timing.spmm_flops(csr.nnz, K)
-    ours_fn = jax.jit(lambda b: spmm(adj, b, method="auto"))
-    ours = timing.benchmark(lambda: ours_fn(B), iters=100).gflops(flops)
+    ours = timing.benchmark_chained(
+        lambda x: spmm(adj, x, method="auto") * 0.5, B, iters=100, groups=5
+    )
 
     bcoo = csr_to_bcoo(csr)
-    stock_fn = jax.jit(lambda b: bcoo @ b)
     try:
-        stock = timing.benchmark(lambda: stock_fn(B), iters=100).gflops(flops)
+        stock = timing.benchmark_chained(
+            lambda x: (bcoo @ x) * 0.5, B, iters=100, groups=5
+        )
+        stock_t = stock.median_s
     except Exception:
-        stock = ours
+        stock_t = ours.median_s
 
+    gf = flops / ours.median_s / 1e9
     print(
         json.dumps(
             {
                 "metric": f"spmm_gflops_{name}_k{K}",
-                "value": round(ours, 3),
+                "value": round(gf, 3),
                 "unit": "GFLOP/s",
-                "vs_baseline": round(ours / stock, 4),
+                "vs_baseline": round(stock_t / ours.median_s, 4),
             }
         )
     )

@@ -65,6 +65,7 @@ def _spmm_kernel(
     chunk_nnz: int,
     k_tile: int,
     num_chunks: int,
+    mode: str,
 ):
     # Grid is (n_k, C): chunks iterate FASTEST so the chunk double-buffer
     # pipeline is sequential within each K-tile pass.
@@ -119,19 +120,39 @@ def _spmm_kernel(
     lr = local_rows_ref[0, 0, :]  # (E,) int32
     rows_iota = jax.lax.broadcasted_iota(jnp.int32, (R, E), 0)
     onehot = (rows_iota == lr[None, :]).astype(jnp.float32)
-    p_mat = onehot * vals_ref[0, 0, :][None, :].astype(jnp.float32)
 
-    # HIGHEST precision: the MXU's default f32 path rounds through bf16
-    # passes (~1e-2 relative error — would violate the 1e-5 numerics
-    # target); the 3-pass f32 mode is exact and the MXU is nowhere near
-    # being the bottleneck here (the gather DMA is).
-    contrib = jax.lax.dot_general(
-        p_mat,
-        gather_buf[slot].astype(jnp.float32),
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
+    def dot(p, g, prec):
+        return jax.lax.dot_general(
+            p, g,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=prec,
+        )
+
+    g_full = gather_buf[slot].astype(jnp.float32)
+    if mode == "hilo":
+        # One-hot P is EXACT in bf16 (0/1); fold the edge values into the
+        # gathered rows (VPU, E*K ops) and split them into two bf16 passes
+        # (hi + residual-lo), recovering ~16 mantissa bits at 2/3 the cost
+        # of the 3-pass HIGHEST mode.  The one-hot structure means each
+        # output element is a plain sum of the selected (hi + lo) pairs, so
+        # the error is bounded by the hi/lo representation (~1e-7 relative),
+        # NOT by bf16 single-pass rounding (~4e-3).
+        p_mat = onehot.astype(jnp.bfloat16)
+        g_scaled = g_full * vals_ref[0, 0, :][:, None].astype(jnp.float32)
+        g_hi = g_scaled.astype(jnp.bfloat16)
+        g_lo = (g_scaled - g_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        contrib = dot(p_mat, g_hi, jax.lax.Precision.DEFAULT) + dot(
+            p_mat, g_lo, jax.lax.Precision.DEFAULT
+        )
+    else:
+        p_mat = onehot * vals_ref[0, 0, :][None, :].astype(jnp.float32)
+        prec = (
+            jax.lax.Precision.HIGHEST
+            if mode == "highest"
+            else jax.lax.Precision.DEFAULT
+        )
+        contrib = dot(p_mat, g_full, prec)
 
     @pl.when(first_ref[c] == 1)
     def _():
@@ -146,7 +167,9 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-@functools.partial(jax.jit, static_argnames=("m", "k_tile", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("m", "k_tile", "interpret", "mode")
+)
 def _spmm_pallas_call(
     plan: SpmmPlan,
     vals_chunked: Array,
@@ -154,6 +177,7 @@ def _spmm_pallas_call(
     m: int,
     k_tile: int,
     interpret: bool = False,
+    mode: str = "highest",
 ) -> Array:
     R, E, C = plan.rows_per_block, plan.chunk_nnz, plan.num_chunks
     n, K = B.shape
@@ -215,6 +239,7 @@ def _spmm_pallas_call(
         chunk_nnz=E,
         k_tile=k_tile,
         num_chunks=C,
+        mode=mode,
     )
 
     nnz = plan.nnz
@@ -251,11 +276,15 @@ def spmm_pallas(
     *,
     k_tile: int = DEFAULT_K_TILE,
     interpret: bool = False,
+    mode: str = "highest",
 ) -> Array:
     """Sum-reduce SpMM via the chunked gather kernel.
 
     ``data``: per-edge values in CSR order, or None for implicit 1.0 (the
     reference's `no_edge_value` family, `spmm_kernel.cu:31-173`).
+    ``mode``: scatter-matmul precision — "highest" (exact f32, 3 MXU
+    passes), "hilo" (bf16 one-hot + hi/lo value split, 2 passes, ~1e-7
+    relative), or "default" (1 bf16 pass, ~4e-3 relative; bench tier only).
     """
     R, E = plan.rows_per_block, plan.chunk_nnz
     if data is None:
@@ -263,4 +292,6 @@ def spmm_pallas(
     else:
         vals_chunked = plan.chunk_data(data).astype(jnp.float32)
     k_tile = min(k_tile, _round_up(B.shape[1], 128))
-    return _spmm_pallas_call(plan, vals_chunked, B, m, k_tile, interpret)
+    return _spmm_pallas_call(
+        plan, vals_chunked, B, m, k_tile, interpret, mode
+    )

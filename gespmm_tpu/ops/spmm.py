@@ -172,10 +172,12 @@ _GROUPED_MIN_DEDUP = 4.0
 def _build_plan(csr: CSR, kind: str, kwargs: dict):
     """Plan-selection heuristic — the TPU analogue of the reference's
     K-based kernel dispatch (`spmm_kernel.cu:186-206`), but driven by the
-    graph's measured column locality instead of the feature width."""
+    graph's structure instead of the feature width.  "auto" = the tiled
+    stream plan (measured fastest across graph scales on v5e)."""
     from gespmm_tpu.sparse.partition import (
         build_grouped_plan,
         build_spmm_plan,
+        build_tiled_plan,
     )
 
     import inspect
@@ -189,33 +191,43 @@ def _build_plan(csr: CSR, kind: str, kwargs: dict):
         return call(build_spmm_plan)
     if kind == "grouped":
         return call(build_grouped_plan)
-    if kind == "auto":
-        grouped = call(build_grouped_plan)
-        if grouped.dedup_factor >= _GROUPED_MIN_DEDUP:
-            return grouped
-        return call(build_spmm_plan)
+    if kind in ("auto", "tiled"):
+        return call(build_tiled_plan)
     raise ValueError(f"unknown plan kind {kind!r}")
 
 
 def _resolve_method(method: str, plan, K: int) -> str:
     if method != "auto":
         return method
-    if plan is not None and jax.default_backend() == "tpu":
-        from gespmm_tpu.kernels import spmm_kernel_available
-        from gespmm_tpu.sparse.partition import GroupedSpmmPlan
+    if plan is not None:
+        from gespmm_tpu.sparse.partition import TiledSpmmPlan
 
-        # Measured on v5e: scattered row fetches are latency-bound at
-        # ~28ns/row and the XLA formulations already sit at that wall, so
-        # the hand kernels only win when the plan reduces the number of
-        # fetches — i.e. a grouped plan on a high-locality graph (the
-        # "auto" plan builder only emits one when dedup >= threshold).
-        if isinstance(plan, GroupedSpmmPlan) and spmm_kernel_available():
-            return "pallas"
+        # Measured on v5e (scripts/micro_*.py, honest queue-fenced timing):
+        # scattered per-edge row fetches from HBM are descriptor-issue-
+        # bound (~10ns/row) and XLA's segment_sum adds ~10.7ns/edge on
+        # top — so both the composite XLA formulation and the per-edge-DMA
+        # Pallas kernel sit near that wall.  The tiled stream plan
+        # (VMEM-sized gather tiles + VMEM-resident reduction) is the only
+        # formulation measured below it; prefer it whenever present.
+        if isinstance(plan, TiledSpmmPlan):
+            return "tiled"
+        if jax.default_backend() == "tpu":
+            from gespmm_tpu.kernels import spmm_kernel_available
+            from gespmm_tpu.sparse.partition import GroupedSpmmPlan
+
+            if isinstance(plan, GroupedSpmmPlan) and spmm_kernel_available():
+                return "pallas"
     return "xla"
 
 
 def _forward(cfg: _SpmmConfig, indptr, indices, data, plan, B, rows=None) -> Array:
     method = _resolve_method(cfg.method, plan, B.shape[-1])
+    if method == "tiled" and plan is not None and cfg.reduce == "sum":
+        from gespmm_tpu.kernels.spmm_stream import spmm_tiled
+        from gespmm_tpu.sparse.partition import TiledSpmmPlan
+
+        if isinstance(plan, TiledSpmmPlan):
+            return spmm_tiled(plan, data, B, cfg.m)
     if method == "pallas" and plan is not None and cfg.reduce == "sum":
         from gespmm_tpu.sparse.partition import GroupedSpmmPlan
 

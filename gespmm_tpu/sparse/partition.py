@@ -30,7 +30,7 @@ edge values, so one plan serves every training step and every value of the
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -307,4 +307,226 @@ def build_grouped_plan(
         shape=(m, n),
         nnz=nnz,
         num_blocks=num_blocks,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tiled stream plan: the "SpMM v2" layout (gather tiers + streaming reduce)
+# ---------------------------------------------------------------------------
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class TiledPartPlan:
+    """Per-row-part layout for the stream-reduce SpMM.
+
+    The part owns rows [row0, row0 + m_part) of the output.  Its edges are
+    sorted by (column tile, row); the XLA gather phase produces one
+    contribution row per SLOT (slot order == this sorted order, padded so
+    each (tile, chunk) boundary is chunk-aligned), and the Pallas reduce
+    kernel folds slots into the part's VMEM-resident output.
+
+    Arrays (S slots, C chunks of E slots):
+      src:        (S,) int32 — CSR edge index feeding each slot (pad -> 0)
+      lcols:      (S,) int32 — column local to the slot's tile (pad -> 0)
+      local_rows: (C, E) int32 — row - row_start[c]; pad sentinel = R
+      row_start:  (C,) int32 — 8-aligned window start, row_start+R <= m_pad
+    Static:
+      tile_slices: tuple of (col0, ncols, slot0, slot1) — one per column
+        tile that has edges; gather phase does take(B[col0:col0+ncols],
+        lcols[slot0:slot1]).
+      row0, m_part, m_pad, rows_per_block R, chunk_nnz E.
+    """
+
+    src: jax.Array
+    lcols: jax.Array
+    local_rows: jax.Array
+    row_start: jax.Array
+    tile_slices: Tuple = dataclasses.field(default=())
+    row0: int = 0
+    m_part: int = 0
+    m_pad: int = 0
+    rows_per_block: int = 0
+    chunk_nnz: int = 0
+
+    def tree_flatten(self):
+        arrays = (self.src, self.lcols, self.local_rows, self.row_start)
+        aux = (self.tile_slices, self.row0, self.m_part, self.m_pad,
+               self.rows_per_block, self.chunk_nnz)
+        return arrays, aux
+
+    @classmethod
+    def tree_unflatten(cls, aux, arrays):
+        return cls(*arrays, *aux)
+
+    @property
+    def num_slots(self) -> int:
+        return int(self.src.shape[0])
+
+    @property
+    def num_chunks(self) -> int:
+        return int(self.local_rows.shape[0])
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class TiledSpmmPlan:
+    """Stream-reduce SpMM plan: row parts x column tiles x slot chunks.
+
+    TPU-native re-design rationale (vs the reference's CRC/CWM CUDA tiling,
+    SURVEY.md section 2.2): on TPU the scattered per-edge row fetch is
+    descriptor-issue-bound (~10ns/row measured on v5e) for HBM-resident
+    dense operands, but XLA's gather from a VMEM-sized table runs 5-25x
+    faster.  So:
+      * columns are split into tiles small enough that the gather operand
+        is VMEM-resident (col_tile rows of B);
+      * rows are split into parts small enough that the OUTPUT accumulator
+        is VMEM-resident in the reduce kernel (no segment_sum, no
+        scatter-add: XLA's segment-sum measured ~10.7ns/edge — the actual
+        wall of the composite formulation);
+      * within a part, edges sorted by (tile, row) are consumed in chunks
+        of E slots whose rows fit a window of R (= one-hot scatter-matmul
+        per chunk on the MXU).
+    """
+
+    parts: Tuple[TiledPartPlan, ...]
+    col_tile: int
+    shape: Tuple[int, int]
+    nnz: int
+
+    def tree_flatten(self):
+        return (self.parts,), (self.col_tile, self.shape, self.nnz)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], *aux)
+
+    @property
+    def num_slots(self) -> int:
+        return sum(p.num_slots for p in self.parts)
+
+    @property
+    def padding_ratio(self) -> float:
+        total = self.num_slots
+        return (total - self.nnz) / max(total, 1)
+
+
+def _align_down(x: int, a: int) -> int:
+    return (x // a) * a
+
+
+def build_tiled_plan(
+    csr,
+    col_tile: int = 16384,
+    rows_per_block: Optional[int] = None,
+    chunk_nnz: int = 256,
+    part_rows: int = 65536,
+) -> TiledSpmmPlan:
+    """Host-side construction of the stream-reduce plan.
+
+    col_tile: B rows per gather tile (col_tile*K*4 bytes must be
+      VMEM-friendly; 16384 rows @ K=128 = 8 MB).
+    rows_per_block (R): output-row window one chunk may scatter into.
+      Default (None): density-derived — wide enough that a chunk of E
+      edges usually fits one window (pad vs MXU-flop tradeoff; the sweep
+      in scripts/ landed at R≈1.6·E/edges-per-row-per-tile on v5e).
+    chunk_nnz (E): slots per chunk (one MXU scatter-matmul each).
+    part_rows: output rows per part (part_rows*K*4 bytes of VMEM
+      accumulator; 65536 @ K=128 = 32 MB, leaving headroom at K=256).
+    """
+    indptr = np.asarray(csr.indptr)
+    indices = np.asarray(csr.indices)
+    m, n = csr.shape
+    nnz = int(indices.shape[0])
+    E = int(chunk_nnz)
+    if rows_per_block is None:
+        n_tiles = max(-(-n // col_tile), 1)
+        density = nnz / max(m * n_tiles, 1)  # edges per row per tile
+        R = int(min(1024, max(256, -(-int(1.6 * E / max(density, 1e-9)) // 8) * 8)))
+    else:
+        R = int(rows_per_block)
+    if R % 8 or E % 8:
+        raise ValueError("rows_per_block and chunk_nnz must be multiples of 8")
+
+    rows_all = np.repeat(np.arange(m, dtype=np.int32), np.diff(indptr))
+    parts = []
+    for row0 in range(0, max(m, 1), part_rows):
+        row1 = min(row0 + part_rows, m)
+        m_part = row1 - row0
+        m_pad = max(-(-m_part // 8) * 8, min(R, -(-m // 8) * 8))
+        Rp = min(R, m_pad)
+        s, e = int(indptr[row0]), int(indptr[row1])
+        rows_p = rows_all[s:e] - row0
+        cols_p = indices[s:e]
+        src_p = np.arange(s, e, dtype=np.int32)
+        tile_p = cols_p // col_tile
+        order = np.lexsort((rows_p, tile_p))
+        rows_p, cols_p, src_p, tile_p = (
+            rows_p[order], cols_p[order], src_p[order], tile_p[order]
+        )
+
+        # Walk tiles; within each tile pack row-windowed chunks of E slots.
+        src_slots, lcol_slots = [], []
+        lrow_chunks, rstart_chunks = [], []
+        tile_slices = []
+        tids = np.unique(tile_p)
+        bounds = np.searchsorted(tile_p, np.concatenate([tids, [tile_p[-1] + 1]])) if len(tile_p) else np.array([0])
+        for ti, t in enumerate(tids):
+            ts, te = int(bounds[ti]), int(bounds[ti + 1])
+            t_rows = rows_p[ts:te]
+            slot0 = len(src_slots) * E  # chunks emitted so far * E
+            i = ts
+            while i < te:
+                r0 = _align_down(int(t_rows[i - ts]), 8)
+                r0 = min(r0, m_pad - Rp)
+                # furthest edge whose row < r0 + Rp
+                j = ts + int(
+                    np.searchsorted(t_rows, r0 + Rp, side="left")
+                )
+                j = min(j, i + E, te)
+                cnt = j - i
+                lr = np.full(E, Rp, np.int32)
+                lr[:cnt] = rows_p[i:j] - r0
+                sr = np.zeros(E, np.int32)
+                sr[:cnt] = src_p[i:j]
+                lc = np.zeros(E, np.int32)
+                lc[:cnt] = cols_p[i:j] - int(t) * col_tile
+                src_slots.append(sr)
+                lcol_slots.append(lc)
+                lrow_chunks.append(lr)
+                rstart_chunks.append(r0)
+                i = j
+            slot1 = len(src_slots) * E
+            col0 = int(t) * col_tile
+            ncols = min(col_tile, n - col0)
+            tile_slices.append((col0, ncols, slot0, slot1))
+
+        if not src_slots:  # empty part: one dummy chunk of pure padding
+            src_slots.append(np.zeros(E, np.int32))
+            lcol_slots.append(np.zeros(E, np.int32))
+            lrow_chunks.append(np.full(E, Rp, np.int32))
+            rstart_chunks.append(0)
+            tile_slices.append((0, min(col_tile, n), 0, E))
+
+        parts.append(
+            TiledPartPlan(
+                src=jnp.asarray(np.concatenate(src_slots)),
+                lcols=jnp.asarray(np.concatenate(lcol_slots)),
+                local_rows=jnp.asarray(np.stack(lrow_chunks)),
+                row_start=jnp.asarray(
+                    np.asarray(rstart_chunks, np.int32)
+                ),
+                tile_slices=tuple(tile_slices),
+                row0=row0,
+                m_part=m_part,
+                m_pad=m_pad,
+                rows_per_block=Rp,
+                chunk_nnz=E,
+            )
+        )
+        if m == 0:
+            break
+
+    return TiledSpmmPlan(
+        parts=tuple(parts), col_tile=col_tile, shape=(m, n), nnz=nnz
     )

@@ -151,29 +151,28 @@ def test_grouped_plan_invariants():
             assert col == cols[src[c, e]]
 
 
-def test_plan_auto_selection():
+def test_plan_kind_selection():
     from gespmm_tpu.ops.spmm import Adjacency
-    from gespmm_tpu.sparse.partition import GroupedSpmmPlan, SpmmPlan
+    from gespmm_tpu.sparse.partition import (
+        GroupedSpmmPlan,
+        SpmmPlan,
+        TiledSpmmPlan,
+    )
 
-    # Random graph: low locality -> per-row plan.
     csr, _ = random_csr(200, 200, density=0.01, seed=4)
+    # auto/True -> tiled stream plan (measured fastest tier on v5e).
     adj = Adjacency.from_csr(
-        csr, plan=True, rows_per_block=8, edges_per_chunk=16,
-        groups_per_chunk=16, group_rows=8, chunk_nnz=16,
+        csr, plan=True, rows_per_block=8, chunk_nnz=16, col_tile=64,
+        part_rows=128,
     )
-    assert isinstance(adj.plan, SpmmPlan)
-    # Banded graph: high locality -> grouped plan.
-    import scipy.sparse as sp
-
-    from gespmm_tpu.sparse.formats import csr_from_scipy
-
-    band = sp.diags(
-        [np.ones(200)] * 7, offsets=list(range(-3, 4)), shape=(200, 200)
-    ).tocsr().astype(np.float32)
-    band.sort_indices()
-    bcsr = csr_from_scipy(band)
-    adj2 = Adjacency.from_csr(
-        bcsr, plan=True, rows_per_block=8, edges_per_chunk=16,
-        groups_per_chunk=16, group_rows=8, chunk_nnz=16,
+    assert isinstance(adj.plan, TiledSpmmPlan)
+    # explicit kinds still honored
+    adj_pr = Adjacency.from_csr(
+        csr, plan="perrow", rows_per_block=8, chunk_nnz=16
     )
-    assert isinstance(adj2.plan, GroupedSpmmPlan)
+    assert isinstance(adj_pr.plan, SpmmPlan)
+    adj_gr = Adjacency.from_csr(
+        csr, plan="grouped", rows_per_block=8, edges_per_chunk=16,
+        groups_per_chunk=16, group_rows=8,
+    )
+    assert isinstance(adj_gr.plan, GroupedSpmmPlan)

@@ -1,0 +1,128 @@
+"""Stream-reduce SpMM (tiled gather + Pallas VMEM reduction) — interpret
+mode on CPU vs scipy goldens; compiled-mode TPU equivalence is exercised by
+bench.py and the verify flow.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gespmm_tpu.kernels.spmm_stream import spmm_tiled
+from gespmm_tpu.ops.spmm import Adjacency, spmm
+from gespmm_tpu.sparse.partition import TiledSpmmPlan, build_tiled_plan
+from tests.conftest import powerlaw_csr, random_csr
+
+TOL = dict(rtol=1e-4, atol=1e-4)  # hilo mode: ~1e-5 relative per element
+
+
+@pytest.mark.parametrize(
+    "shape,density,ct,rp,E,pr",
+    [
+        ((60, 50), 0.15, 16, 8, 8, 24),       # many tiles, many parts
+        ((100, 90), 0.05, 32, 16, 16, 1 << 20),  # single part
+        ((64, 64), 0.1, 1 << 20, 16, 16, 1 << 20),  # single tile
+    ],
+)
+def test_spmm_tiled_interpret(shape, density, ct, rp, E, pr):
+    csr, mat = random_csr(*shape, density=density, seed=1)
+    plan = build_tiled_plan(
+        csr, col_tile=ct, rows_per_block=rp, chunk_nnz=E, part_rows=pr
+    )
+    B = np.random.default_rng(1).standard_normal((shape[1], 32)).astype(np.float32)
+    out = spmm_tiled(plan, csr.data, jnp.asarray(B), shape[0], interpret=True)
+    np.testing.assert_allclose(np.asarray(out), mat @ B, **TOL)
+
+
+def test_spmm_tiled_binary_and_modes():
+    csr, mat = random_csr(48, 40, density=0.12, seed=2, binary=True)
+    plan = build_tiled_plan(csr, col_tile=16, rows_per_block=8, chunk_nnz=8,
+                            part_rows=16)
+    B = np.random.default_rng(2).standard_normal((40, 16)).astype(np.float32)
+    golden = mat @ B
+    for mode, tol in (("hilo", 1e-4), ("highest", 1e-5), ("fast", 5e-2)):
+        out = spmm_tiled(plan, None, jnp.asarray(B), 48, mode=mode,
+                         interpret=True)
+        np.testing.assert_allclose(np.asarray(out), golden, rtol=tol, atol=tol)
+
+
+def test_spmm_tiled_powerlaw():
+    csr, mat = powerlaw_csr(96, 80, avg_deg=10, seed=3)
+    plan = build_tiled_plan(csr, col_tile=32, rows_per_block=16, chunk_nnz=16,
+                            part_rows=40)
+    B = np.random.default_rng(3).standard_normal((80, 8)).astype(np.float32)
+    out = spmm_tiled(plan, csr.data, jnp.asarray(B), 96, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), mat @ B, **TOL)
+
+
+def test_spmm_tiled_k_padding():
+    # K not a multiple of 128 exercises the pad/strip path.
+    csr, mat = random_csr(30, 25, density=0.2, seed=4)
+    plan = build_tiled_plan(csr, col_tile=8, rows_per_block=8, chunk_nnz=8,
+                            part_rows=16)
+    B = np.random.default_rng(4).standard_normal((25, 33)).astype(np.float32)
+    out = spmm_tiled(plan, csr.data, jnp.asarray(B), 30, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), mat @ B, **TOL)
+
+
+def test_spmm_tiled_empty_rows_and_empty_part():
+    # Rows (and a whole trailing part) with no nonzeros stay exactly zero.
+    csr, mat = random_csr(40, 30, density=0.1, seed=5)
+    import scipy.sparse as sp
+    from gespmm_tpu.sparse.formats import csr_from_scipy
+
+    smat = sp.vstack([mat, sp.csr_matrix((24, 30), dtype=np.float32)]).tocsr()
+    ours = csr_from_scipy(smat)
+    plan = build_tiled_plan(ours, col_tile=16, rows_per_block=8, chunk_nnz=8,
+                            part_rows=32)
+    B = np.random.default_rng(5).standard_normal((30, 8)).astype(np.float32)
+    out = spmm_tiled(plan, ours.data, jnp.asarray(B), 64, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), smat @ B, **TOL)
+    assert np.all(np.asarray(out)[40:] == 0)
+
+
+def test_adjacency_auto_plan_is_tiled_and_dispatches():
+    csr, mat = random_csr(64, 64, density=0.08, seed=6)
+    adj = Adjacency.from_csr(csr, plan=True, col_tile=32, rows_per_block=16,
+                             chunk_nnz=16, part_rows=32)
+    assert isinstance(adj.plan, TiledSpmmPlan)
+    assert isinstance(adj.plan_t, TiledSpmmPlan)
+    B = np.random.default_rng(6).standard_normal((64, 16)).astype(np.float32)
+    out = spmm(adj, jnp.asarray(B), method="tiled")
+    np.testing.assert_allclose(np.asarray(out), mat @ B, **TOL)
+    # auto resolves to tiled when the plan is tiled
+    out2 = spmm(adj, jnp.asarray(B), method="auto")
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(out), rtol=0, atol=0)
+
+
+def test_spmm_tiled_grad_matches_dense():
+    csr, mat = random_csr(40, 36, density=0.1, seed=7)
+    adj = Adjacency.from_csr(csr, plan=True, col_tile=16, rows_per_block=8,
+                             chunk_nnz=8, part_rows=24)
+    B = jnp.asarray(
+        np.random.default_rng(7).standard_normal((36, 8)).astype(np.float32)
+    )
+    dense = jnp.asarray(mat.toarray())
+
+    def loss_sparse(b):
+        return jnp.sum(jnp.sin(spmm(adj, b, method="tiled")))
+
+    def loss_dense(b):
+        return jnp.sum(jnp.sin(dense @ b))
+
+    g1 = jax.grad(loss_sparse)(B)
+    g2 = jax.grad(loss_dense)(B)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-3,
+                               atol=1e-4)
+
+
+def test_spmm_tiled_jit_stability():
+    csr, _ = random_csr(32, 32, density=0.1, seed=8)
+    adj = Adjacency.from_csr(csr, plan=True, col_tile=16, rows_per_block=8,
+                             chunk_nnz=8, part_rows=16)
+    B = jnp.asarray(
+        np.random.default_rng(8).standard_normal((32, 8)).astype(np.float32)
+    )
+    f = jax.jit(lambda b: spmm(adj, b, method="tiled"))
+    o1, o2 = f(B), f(B)
+    np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))
