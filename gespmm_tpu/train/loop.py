@@ -55,14 +55,26 @@ def make_train_step(
     optimizer: optax.GradientTransformation,
     *,
     loss_fn: Callable = masked_nll_loss,
+    adj=None,
+    base_key: Optional[Array] = None,
 ) -> Callable:
-    """Build a jitted (state, adj, x, labels, mask, rng) -> (state, loss)."""
+    """Build a jitted train step.
 
-    def step(state: TrainState, adj, x, labels, mask, rng):
+    With ``adj``/``base_key`` (the fast path used by the training loop):
+    returns (state, x, labels, mask) -> (state, loss); the adjacency —
+    including any tile-plan arrays — is closed over as a jit constant
+    (per-graph specialization, the same trade the reference makes by
+    compiling per matrix) so each dispatch marshals only a handful of
+    buffers, and the dropout rng derives from ``state.step`` on device
+    (no host-side key splitting per epoch).
+
+    Without ``adj``: legacy signature
+    (state, adj, x, labels, mask, rng) -> (state, loss).
+    """
+
+    def objective_and_update(state, a, x, labels, mask, rng):
         def objective(params):
-            lp = model.log_probs(
-                params, adj, x, training=True, rng=rng
-            )
+            lp = model.log_probs(params, a, x, training=True, rng=rng)
             return loss_fn(lp, labels, mask)
 
         loss, grads = jax.value_and_grad(objective)(state.params)
@@ -71,6 +83,18 @@ def make_train_step(
         )
         params = optax.apply_updates(state.params, updates)
         return TrainState(params, opt_state, state.step + 1), loss
+
+    if adj is not None:
+        key0 = base_key if base_key is not None else jax.random.PRNGKey(0)
+
+        def step_closed(state: TrainState, x, labels, mask):
+            rng = jax.random.fold_in(key0, state.step)
+            return objective_and_update(state, adj, x, labels, mask, rng)
+
+        return jax.jit(step_closed)
+
+    def step(state: TrainState, a, x, labels, mask, rng):
+        return objective_and_update(state, a, x, labels, mask, rng)
 
     return jax.jit(step)
 
@@ -98,11 +122,11 @@ def train_node_classifier(
     `gcn_dgl.py:176-186`).
     """
     key = jax.random.PRNGKey(seed)
-    key, init_key = jax.random.split(key)
+    key, init_key, step_key = jax.random.split(key, 3)
     params = model.init(init_key)
     optimizer = optax.adamw(lr, weight_decay=weight_decay)
     state = TrainState(params, optimizer.init(params), jnp.zeros((), jnp.int32))
-    step = make_train_step(model, optimizer)
+    step = make_train_step(model, optimizer, adj=adj, base_key=step_key)
     eval_fn = jax.jit(lambda p: model.apply(p, adj, x))
 
     start_epoch = 0
@@ -113,29 +137,63 @@ def train_node_classifier(
         if ckpt is not None:
             state, start_epoch = restore(ckpt, state)
 
+    # Epoch timing: groups of epochs fenced by a scalar fetch with the
+    # fetch round-trip subtracted (see utils/timing.py — on tunneled TPU
+    # runtimes `block_until_ready` does not fence and a device->host fetch
+    # costs one RTT, so naive per-epoch timing measures neither).
+    from gespmm_tpu.utils import timing as _timing
+
     history = {"loss": [], "val_acc": [], "epoch_time": []}
+    loss_devs = []  # device scalars; fetched once after the loop
+    warmup_end = start_epoch + min(3, max(epochs - start_epoch - 1, 0))
+    rtt = 0.0
+    group_t0 = None
+    group_n = 0
     for epoch in range(start_epoch, epochs):
-        key, rng = jax.random.split(key)
-        t0 = time.perf_counter()
-        state, loss = step(state, adj, x, labels, masks["train"], rng)
-        loss.block_until_ready()
-        dt = time.perf_counter() - t0
-        history["loss"].append(float(loss))
-        if epoch >= 3:
-            history["epoch_time"].append(dt)
-        if log_every and (epoch % log_every == 0 or epoch == epochs - 1):
+        state, loss = step(state, x, labels, masks["train"])
+        loss_devs.append(loss)
+        group_n += 1
+        log_now = bool(
+            log_every and (epoch % log_every == 0 or epoch == epochs - 1)
+        )
+        ckpt_now = bool(
+            checkpoint_dir
+            and checkpoint_every
+            and (epoch + 1) % checkpoint_every == 0
+        )
+        if epoch == warmup_end:
+            rtt = _timing.measure_rtt(loss)
+            group_t0, group_n = time.perf_counter(), 0
+        elif (log_now or ckpt_now or epoch == epochs - 1) and group_n:
+            _timing._fence(loss)
+            if group_t0 is not None:
+                dt = max(
+                    time.perf_counter() - group_t0 - rtt, 0.0
+                ) / group_n
+                history["epoch_time"].extend([dt] * group_n)
+        if log_now:
+            loss_val = float(loss)
             logits = eval_fn(state.params)
             val = float(accuracy(logits, labels, masks["val"]))
             history["val_acc"].append(val)
+            ms = history["epoch_time"][-1] * 1e3 if history["epoch_time"] else float("nan")
             print(
-                f"epoch {epoch:04d} | loss {float(loss):.4f} | "
-                f"val acc {val:.4f} | {dt * 1e3:.1f} ms/epoch"
+                f"epoch {epoch:04d} | loss {loss_val:.4f} | "
+                f"val acc {val:.4f} | {ms:.1f} ms/epoch"
             )
-        if checkpoint_dir and checkpoint_every and (epoch + 1) % checkpoint_every == 0:
+        if ckpt_now:
             from gespmm_tpu.train.checkpoint import save
 
             save(checkpoint_dir, state, epoch + 1)
+        if log_now or ckpt_now:
+            group_t0, group_n = time.perf_counter(), 0
 
+    if loss_devs:
+        import numpy as _np
+
+        history["loss"] = [
+            float(v) for v in _np.asarray(jnp.stack(loss_devs))
+        ]
     logits = eval_fn(state.params)
     result = {
         "params": state.params,
