@@ -20,8 +20,6 @@ import json
 
 
 def bench_weak_scaling(devices_list, scale, k, edge_factor, iters=20):
-    import time
-
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -29,6 +27,7 @@ def bench_weak_scaling(devices_list, scale, k, edge_factor, iters=20):
 
     from gespmm_tpu.parallel.dist_spmm import dist_spmm, partition_adjacency
     from gespmm_tpu.parallel.mesh import make_mesh
+    from gespmm_tpu.utils import timing
     from gespmm_tpu.utils.datasets import rmat_graph
 
     results = []
@@ -54,12 +53,10 @@ def bench_weak_scaling(devices_list, scale, k, edge_factor, iters=20):
         fn = jax.jit(
             lambda p, b: dist_spmm(p, b, mesh, model_axis=None)
         )
-        fn(padj, B).block_until_ready()
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            out = fn(padj, B)
-        out.block_until_ready()
-        dt = (time.perf_counter() - t0) / iters
+        # Queue-fenced timing with RTT subtraction (block_until_ready is
+        # not a fence on tunneled runtimes — see utils/timing.py).
+        r = timing.benchmark(lambda: fn(padj, B), iters=iters)
+        dt = r.median_s
         rate = csr.nnz / dt
         if base_rate is None:
             base_rate = rate / nd  # per-device rate at 1 device

@@ -29,14 +29,17 @@ def main(argv=None):
     p.add_argument("--dropout", type=float, default=0.5)
     p.add_argument("--self-loop", action="store_true", default=True)
     p.add_argument("--no-self-loop", dest="self_loop", action="store_false")
-    p.add_argument("--method", default="auto", choices=["auto", "xla", "pallas"])
+    p.add_argument("--method", default="auto",
+                   choices=["auto", "xla", "pallas", "tiled"])
     p.add_argument(
         "--impl", default="ours", choices=["ours", "bcoo"],
         help="'bcoo' trains the identical model on stock "
         "jax.experimental.sparse (the gcn_pyg.py-style A/B baseline)",
     )
-    p.add_argument("--plan", action="store_true",
-                   help="build Pallas tile plans for the adjacency")
+    p.add_argument("--plan", action="store_true", default=True,
+                   help="build the tiled stream plan for the adjacency "
+                        "(default on; fastest tier)")
+    p.add_argument("--no-plan", dest="plan", action="store_false")
     p.add_argument("--profile-dir", default="",
                    help="write a jax.profiler trace here")
     p.add_argument("--checkpoint-dir", default="")

@@ -43,7 +43,7 @@ def main(argv=None):
     else:
         ds = planetoid_style_dataset(args.dataset)
 
-    adj = Adjacency.from_csr(ds.csr)
+    adj = Adjacency.from_csr(ds.csr, plan=True)
     dims = (
         [ds.features.shape[1]]
         + [args.n_hidden] * (args.n_layers - 1)

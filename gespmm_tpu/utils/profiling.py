@@ -59,19 +59,17 @@ def spmm_roofline(
 
 
 def measure_hbm_bandwidth(size_mb: int = 256) -> float:
-    """Measured device stream bandwidth (GB/s) via a big reduction."""
-    import time
-
+    """Measured device stream bandwidth (GB/s) via a chained elementwise
+    pass (queue-fenced; see utils/timing.py for why block_until_ready
+    timing is wrong on tunneled runtimes).  v5e measures ~795 GB/s."""
     import jax.numpy as jnp
 
-    n = size_mb * (1 << 20) // 4
-    x = jnp.ones((n,), jnp.float32)
-    f = jax.jit(lambda a: jnp.sum(a))
-    f(x).block_until_ready()
-    t0 = time.perf_counter()
-    iters = 10
-    for _ in range(iters):
-        r = f(x)
-    r.block_until_ready()
-    dt = (time.perf_counter() - t0) / iters
-    return n * 4 / dt / 1e9
+    from gespmm_tpu.utils import timing
+
+    rows = size_mb * (1 << 20) // (4 * 1024)
+    x = jnp.ones((rows, 1024), jnp.float32)
+    r = timing.benchmark_chained(
+        lambda v: v * 1.0000001, x, iters=20, groups=3
+    )
+    # One read + one write per element per step.
+    return 2 * rows * 1024 * 4 / r.best_s / 1e9

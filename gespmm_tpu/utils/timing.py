@@ -74,6 +74,14 @@ def benchmark(
 
     per_group = max(10, iters // 10)
     groups = max(4, iters // per_group)
+    # Scale the group so its work dwarfs fetch-RTT jitter.
+    t0 = time.perf_counter()
+    for _ in range(per_group):
+        out = fn()
+    _fence(out)
+    est = max(time.perf_counter() - t0 - rtt, 1e-6)
+    if est < 0.3:
+        per_group = min(per_group * (int(0.3 / est) + 1), 5000)
     times = []
     for _ in range(groups):
         t0 = time.perf_counter()
@@ -112,18 +120,29 @@ def benchmark_chained(
 
     out = chain(x0)
     rtt = measure_rtt(out)
+    # Size each fenced group so its device work dwarfs the fetch-RTT
+    # jitter (tens of ms through a tunnel): estimate one chain call, then
+    # run enough calls per group to hit ~0.4s of work.
+    t0 = time.perf_counter()
+    out = chain(x0)
+    _fence(out)
+    est = max(time.perf_counter() - t0 - rtt, 1e-6)
+    calls = max(1, min(int(0.4 / est) + 1, max(100000 // iters, 1)))
     times = []
     for _ in range(groups):
         t0 = time.perf_counter()
-        out = chain(x0)
+        for _ in range(calls):
+            out = chain(x0)
         _fence(out)
-        times.append(max(time.perf_counter() - t0 - rtt, 1e-9) / iters)
+        times.append(
+            max(time.perf_counter() - t0 - rtt, 1e-9) / (iters * calls)
+        )
     times.sort()
     return BenchResult(
         mean_s=sum(times) / len(times),
         median_s=times[len(times) // 2],
         best_s=times[0],
-        iters=groups * iters,
+        iters=groups * iters * calls,
     )
 
 
