@@ -19,13 +19,19 @@ import argparse
 import json
 
 
-def bench_weak_scaling(devices_list, scale, k, edge_factor, iters=20):
+def bench_weak_scaling(devices_list, scale, k, edge_factor, iters=20,
+                       method="xla"):
     import jax
     import jax.numpy as jnp
     import numpy as np
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    from gespmm_tpu.parallel.dist_spmm import dist_spmm, partition_adjacency
+    from gespmm_tpu.parallel.dist_spmm import (
+        dist_spmm,
+        dist_spmm_tiled,
+        partition_adjacency,
+        partition_tiled,
+    )
     from gespmm_tpu.parallel.mesh import make_mesh
     from gespmm_tpu.utils import timing
     from gespmm_tpu.utils.datasets import rmat_graph
@@ -50,12 +56,21 @@ def bench_weak_scaling(devices_list, scale, k, edge_factor, iters=20):
         B = jnp.pad(B, ((0, n_pad - n), (0, 0)))
         B = jax.device_put(B, NamedSharding(mesh, P("data", None)))
 
-        fn = jax.jit(
-            lambda p, b: dist_spmm(p, b, mesh, model_axis=None)
-        )
+        if method == "tiled":
+            tplan = partition_tiled(csr, nd)
+            fn = jax.jit(
+                lambda p, t, b: dist_spmm_tiled(p, t, b, mesh,
+                                                model_axis=None)
+            )
+            run = lambda: fn(padj, tplan, B)  # noqa: E731
+        else:
+            fn = jax.jit(
+                lambda p, b: dist_spmm(p, b, mesh, model_axis=None)
+            )
+            run = lambda: fn(padj, B)  # noqa: E731
         # Queue-fenced timing with RTT subtraction (block_until_ready is
         # not a fence on tunneled runtimes — see utils/timing.py).
-        r = timing.benchmark(lambda: fn(padj, B), iters=iters)
+        r = timing.benchmark(run, iters=iters)
         dt = r.median_s
         rate = csr.nnz / dt
         if base_rate is None:
@@ -83,9 +98,11 @@ def main(argv=None):
     p.add_argument("--k", type=int, default=64)
     p.add_argument("--edge-factor", type=int, default=16)
     p.add_argument("--iters", type=int, default=20)
+    p.add_argument("--method", default="xla", choices=["xla", "tiled"])
     args = p.parse_args(argv)
     bench_weak_scaling(
-        args.devices, args.scale, args.k, args.edge_factor, args.iters
+        args.devices, args.scale, args.k, args.edge_factor, args.iters,
+        method=args.method,
     )
 
 

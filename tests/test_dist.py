@@ -118,3 +118,72 @@ def test_sharded_gcn_train_step_loss_decreases():
         params, opt_state, loss = step(params, opt_state, x, labels, mask)
         losses.append(float(loss))
     assert losses[-1] < losses[0] * 0.9, losses
+
+
+def test_dist_spmm_tiled_matches_dense():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from gespmm_tpu.parallel.dist_spmm import (
+        dist_spmm_tiled,
+        partition_adjacency,
+        partition_tiled,
+    )
+    from gespmm_tpu.parallel.mesh import make_mesh
+    from tests.conftest import random_csr
+
+    csr, mat = random_csr(96, 96, density=0.08, seed=11)
+    nd = 4
+    mesh = make_mesh(data=nd, model=1, devices=jax.devices()[:nd])
+    padj = partition_adjacency(csr, nd)
+    tplan = partition_tiled(csr, nd, col_tile=32, rows_per_block=16,
+                            chunk_nnz=16)
+    B = np.random.default_rng(11).standard_normal((96, 16)).astype(np.float32)
+    Bd = jax.device_put(
+        jnp.asarray(B), NamedSharding(mesh, P("data", None))
+    )
+    out = jax.jit(
+        lambda p, t, b: dist_spmm_tiled(p, t, b, mesh, model_axis=None)
+    )(padj, tplan, Bd)
+    np.testing.assert_allclose(
+        np.asarray(out)[:96], mat @ B, rtol=1e-4, atol=1e-4
+    )
+
+
+def test_dist_spmm_tiled_binary_uneven_rows():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from gespmm_tpu.parallel.dist_spmm import (
+        dist_spmm_tiled,
+        partition_adjacency,
+        partition_tiled,
+    )
+    from gespmm_tpu.parallel.mesh import make_mesh
+    from tests.conftest import random_csr
+
+    # m=90 over 4 parts: rpp=23, last slab short + binary values.
+    csr, mat = random_csr(90, 90, density=0.1, seed=12, binary=True)
+    nd = 4
+    mesh = make_mesh(data=nd, model=1, devices=jax.devices()[:nd])
+    padj = partition_adjacency(csr, nd)
+    tplan = partition_tiled(csr, nd, col_tile=32, rows_per_block=16,
+                            chunk_nnz=16)
+    rpp = tplan.rows_per_part
+    n_pad = rpp * nd
+    B = np.random.default_rng(12).standard_normal((90, 8)).astype(np.float32)
+    Bp = np.zeros((n_pad, 8), np.float32)
+    Bp[:90] = B
+    Bd = jax.device_put(
+        jnp.asarray(Bp), NamedSharding(mesh, P("data", None))
+    )
+    out = jax.jit(
+        lambda p, t, b: dist_spmm_tiled(p, t, b, mesh, model_axis=None)
+    )(padj, tplan, Bd)
+    np.testing.assert_allclose(
+        np.asarray(out)[:90], mat @ B, rtol=1e-4, atol=1e-4
+    )
