@@ -465,7 +465,53 @@ def build_tiled_plan(
             rows_p[order], cols_p[order], src_p[order], tile_p[order]
         )
 
-        # Walk tiles; within each tile pack row-windowed chunks of E slots.
+        # Pack row-windowed chunks of E slots per tile: native C++ walk
+        # when the graphio library is available (identical output,
+        # cross-tested in tests/test_native.py), else the NumPy walk.
+        packed = None
+        if len(rows_p):
+            from gespmm_tpu.utils.native import pack_chunks_native
+
+            packed = pack_chunks_native(rows_p, tile_p, Rp, E, m_pad)
+        if packed is not None:
+            lr_n, rs_n, s2e, chunk_tile = packed
+            safe = np.maximum(s2e, 0)
+            src_n = np.where(s2e >= 0, src_p[safe], 0).astype(np.int32)
+            lc_n = np.where(
+                s2e >= 0,
+                cols_p[safe] - chunk_tile[:, None] * col_tile,
+                0,
+            ).astype(np.int32)
+            tile_slices = []
+            c0 = 0
+            while c0 < len(chunk_tile):
+                c1 = c0
+                while c1 < len(chunk_tile) and chunk_tile[c1] == chunk_tile[c0]:
+                    c1 += 1
+                t = int(chunk_tile[c0])
+                tile_slices.append(
+                    (t * col_tile, min(col_tile, n - t * col_tile),
+                     c0 * E, c1 * E)
+                )
+                c0 = c1
+            parts.append(
+                TiledPartPlan(
+                    src=jnp.asarray(src_n.reshape(-1)),
+                    lcols=jnp.asarray(lc_n.reshape(-1)),
+                    local_rows=jnp.asarray(lr_n),
+                    row_start=jnp.asarray(rs_n),
+                    tile_slices=tuple(tile_slices),
+                    row0=row0,
+                    m_part=m_part,
+                    m_pad=m_pad,
+                    rows_per_block=Rp,
+                    chunk_nnz=E,
+                )
+            )
+            if m == 0:
+                break
+            continue
+
         src_slots, lcol_slots = [], []
         lrow_chunks, rstart_chunks = [], []
         tile_slices = []

@@ -78,6 +78,19 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
         np.ctypeslib.ndpointer(np.int32),
         np.ctypeslib.ndpointer(np.int32),
     ]
+    lib.gio_pack_chunks.restype = ctypes.c_int64
+    lib.gio_pack_chunks.argtypes = [
+        np.ctypeslib.ndpointer(np.int32),
+        np.ctypeslib.ndpointer(np.int32),
+        ctypes.c_int64,
+        ctypes.c_int32,
+        ctypes.c_int32,
+        ctypes.c_int32,
+        ctypes.c_void_p,
+        ctypes.c_void_p,
+        ctypes.c_void_p,
+        ctypes.c_void_p,
+    ]
     return lib
 
 
@@ -151,3 +164,38 @@ def csr_to_csc_native(
     perm = np.empty(nnz, np.int32)
     lib.gio_csr_to_csc(indptr, indices, m, n, colptr, out_rows, perm)
     return colptr, out_rows, perm
+
+
+def pack_chunks_native(
+    rows: np.ndarray,
+    tiles: np.ndarray,
+    R: int,
+    E: int,
+    m_pad: int,
+):
+    """Native chunk packing for the stream-reduce plan.
+
+    rows/tiles: one part's edges sorted by (tile, row), part-relative rows.
+    Returns (local_rows (C,E), row_start (C,), slot_to_edge (C,E) with -1
+    pads, chunk_tile (C,)) or None if the library is unavailable.
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    rows = np.ascontiguousarray(rows, np.int32)
+    tiles = np.ascontiguousarray(tiles, np.int32)
+    nnz = rows.shape[0]
+    C = lib.gio_pack_chunks(rows, tiles, nnz, R, E, m_pad,
+                            None, None, None, None)
+    local_rows = np.empty((C, E), np.int32)
+    row_start = np.empty((C,), np.int32)
+    slot_to_edge = np.empty((C, E), np.int32)
+    chunk_tile = np.empty((C,), np.int32)
+    lib.gio_pack_chunks(
+        rows, tiles, nnz, R, E, m_pad,
+        local_rows.ctypes.data_as(ctypes.c_void_p),
+        row_start.ctypes.data_as(ctypes.c_void_p),
+        slot_to_edge.ctypes.data_as(ctypes.c_void_p),
+        chunk_tile.ctypes.data_as(ctypes.c_void_p),
+    )
+    return local_rows, row_start, slot_to_edge, chunk_tile

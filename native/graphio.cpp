@@ -282,4 +282,55 @@ void gio_csr_to_csc(const int32_t* indptr, const int32_t* indices,
   }
 }
 
+// Pack row-windowed chunks for the stream-reduce SpMM plan (the native
+// counterpart of the per-tile packing walk in
+// gespmm_tpu/sparse/partition.py::build_tiled_plan; cross-tested for exact
+// equality in tests/test_native.py).
+//
+// Inputs are one part's edges sorted by (column tile, row): `rows` are
+// part-relative row ids, `tiles` the column-tile id per edge.  A chunk is
+// up to E consecutive edges of one tile whose rows fit a window of R rows
+// starting at an 8-aligned row_start.  Returns the chunk count; when the
+// out pointers are non-null they must hold C*E / C elements (size with a
+// first null-output call — the walk is deterministic).
+//
+//   local_rows:  row - row_start per slot, sentinel R on padded slots
+//   row_start:   8-aligned window start per chunk (<= m_pad - R)
+//   slot_to_edge:index into the sorted edge order per slot (-1 on pads)
+//   chunk_tile:  column-tile id per chunk
+int64_t gio_pack_chunks(const int32_t* rows, const int32_t* tiles,
+                        int64_t nnz, int32_t R, int32_t E, int32_t m_pad,
+                        int32_t* local_rows, int32_t* row_start,
+                        int32_t* slot_to_edge, int32_t* chunk_tile) {
+  const bool fill = local_rows != nullptr;
+  int64_t c = 0;
+  int64_t i = 0;
+  while (i < nnz) {
+    const int32_t t = tiles[i];
+    int32_t r0 = (rows[i] / 8) * 8;
+    if (r0 > m_pad - R) r0 = m_pad - R;
+    if (r0 < 0) r0 = 0;
+    int64_t j = i;
+    while (j < nnz && j - i < E && tiles[j] == t && rows[j] < r0 + R) ++j;
+    if (fill) {
+      const int64_t base = c * E;
+      for (int64_t k = 0; k < E; ++k) {
+        const int64_t e = i + k;
+        if (e < j) {
+          local_rows[base + k] = rows[e] - r0;
+          slot_to_edge[base + k] = (int32_t)e;
+        } else {
+          local_rows[base + k] = R;
+          slot_to_edge[base + k] = -1;
+        }
+      }
+      row_start[c] = r0;
+      chunk_tile[c] = t;
+    }
+    ++c;
+    i = j;
+  }
+  return c;
+}
+
 }  // extern "C"

@@ -104,3 +104,45 @@ def test_native_reader_used_by_default(tmp_path):
     np.testing.assert_array_equal(np.asarray(a.row), np.asarray(b.row))
     np.testing.assert_array_equal(np.asarray(a.col), np.asarray(b.col))
     np.testing.assert_allclose(np.asarray(a.data), np.asarray(b.data), rtol=1e-6)
+
+
+def test_native_chunk_packing_matches_python(monkeypatch):
+    """build_tiled_plan's native C++ packer must equal the NumPy walk."""
+    import numpy as np
+
+    from gespmm_tpu.sparse.partition import build_tiled_plan
+    from gespmm_tpu.utils import native
+    from tests.conftest import powerlaw_csr, random_csr
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native library unavailable")
+
+    for csr, _ in (
+        random_csr(120, 100, density=0.08, seed=21),
+        powerlaw_csr(100, 90, avg_deg=9, seed=22),
+    ):
+        kw = dict(col_tile=32, rows_per_block=16, chunk_nnz=16,
+                  part_rows=64)
+        plan_native = build_tiled_plan(csr, **kw)
+
+        monkeypatch.setattr(
+            "gespmm_tpu.utils.native.pack_chunks_native",
+            lambda *a, **k: None,
+        )
+        plan_py = build_tiled_plan(csr, **kw)
+
+        assert len(plan_native.parts) == len(plan_py.parts)
+        for pn, pp in zip(plan_native.parts, plan_py.parts):
+            assert pn.tile_slices == pp.tile_slices
+            np.testing.assert_array_equal(np.asarray(pn.src), np.asarray(pp.src))
+            np.testing.assert_array_equal(
+                np.asarray(pn.lcols), np.asarray(pp.lcols)
+            )
+            np.testing.assert_array_equal(
+                np.asarray(pn.local_rows), np.asarray(pp.local_rows)
+            )
+            np.testing.assert_array_equal(
+                np.asarray(pn.row_start), np.asarray(pp.row_start)
+            )
