@@ -22,9 +22,11 @@ measured v5e behavior rather than translated GPU structure:
     atomics.
 
   * Numerics: the one-hot matrix is exact in bf16; the contribution chunk
-    is split hi/lo into two bf16 MXU passes ("hilo", ~1e-7 relative, the
-    default), with "highest" (3-pass f32) and "fast" (single bf16 pass,
-    ~4e-3) variants.
+    is split into bf16 mantissa chunks for the MXU passes.  Default mode
+    "trilo" (3 chunks) recovers full f32 values — result matches f32
+    accumulation to roundoff at half HIGHEST's MXU cost; "hilo" (2 chunks,
+    ~1e-5 relative, grows with row degree) and "fast" (1 pass, ~4e-3) are
+    the speed tiers.
 
 Reference parity: this is the edge-valued + binary SpMM kernel family
 (`spmm_test.cu:64-454`, `spmm_kernel.cu:31-173`) re-designed TPU-first;
@@ -79,7 +81,18 @@ def _reduce_kernel(
         )
 
     g32 = contrib_ref[:].astype(jnp.float32)
-    if mode == "hilo":
+    if mode == "trilo":
+        # Three bf16 passes (hi + mid + lo mantissa chunks) recover the
+        # full f32 value of every contribution; with the exact 0/1 bf16
+        # one-hot, the result matches f32 accumulation to roundoff — at
+        # 3 bf16 MXU passes instead of HIGHEST's ~6.
+        p = onehot.astype(jnp.bfloat16)
+        hi = g32.astype(jnp.bfloat16)
+        r1 = g32 - hi.astype(jnp.float32)
+        mid = r1.astype(jnp.bfloat16)
+        lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+        acc = dot(p, hi) + dot(p, mid) + dot(p, lo)
+    elif mode == "hilo":
         p = onehot.astype(jnp.bfloat16)
         hi = g32.astype(jnp.bfloat16)
         lo = (g32 - hi.astype(jnp.float32)).astype(jnp.bfloat16)
@@ -133,7 +146,7 @@ def _reduce_part(
     kernel = functools.partial(
         _reduce_kernel, rows_per_block=rows_per_block, mode=mode
     )
-    passes = 3 if mode == "highest" else (2 if mode == "hilo" else 1)
+    passes = {"highest": 6, "trilo": 3, "hilo": 2}.get(mode, 1)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -181,13 +194,14 @@ def spmm_tiled(
     m: int,
     *,
     k_tile: int = 512,
-    mode: str = "hilo",
+    mode: str = "trilo",
     interpret: Optional[bool] = None,
 ) -> Array:
     """Sum-reduce SpMM via tiled gather + streaming VMEM reduction.
 
     ``data``: per-edge values in CSR order, or None for implicit 1.0.
     Output dtype follows B (accumulation is always f32).
+    ``mode``: "trilo" (default, f32-grade) | "hilo" | "highest" | "fast".
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"

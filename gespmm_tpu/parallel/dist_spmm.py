@@ -369,7 +369,7 @@ def dist_spmm_tiled(
     *,
     axis: str = "data",
     model_axis: Optional[str] = "model",
-    mode: str = "hilo",
+    mode: str = "trilo",
 ) -> Array:
     """Row-partitioned SpMM with the per-chip stream-reduce kernel.
 
