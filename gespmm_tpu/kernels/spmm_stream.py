@@ -235,3 +235,45 @@ def spmm_tiled(
         outs.append(out_p[: part.m_part])
     out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, 0)
     return out[:m, :K].astype(B.dtype)
+
+
+def sddmm_tiled(
+    plan: TiledSpmmPlan,
+    D1: Array,
+    D2: Array,
+) -> Array:
+    """SDDMM over the stream plan's slot layout: out[e] = D1[row_e]·D2[col_e].
+
+    Pure XLA — both gathers hit VMEM-sized tables (D1 sliced per row part,
+    D2 per column tile), sidestepping the ~10ns/row HBM descriptor wall of
+    the naive two-gather formulation (`ops/reference.sddmm_xla`); the
+    per-edge K-reduction streams on the VPU.  Returns CSR-ordered edge
+    values (the slot->edge permutation is scattered back at scalar width).
+    """
+    nnz = plan.nnz
+    K = D1.shape[1]
+    acc = jnp.promote_types(D1.dtype, jnp.float32)
+    out = jnp.zeros((nnz + 1,), acc)
+    for part in plan.parts:
+        R, E = part.rows_per_block, part.chunk_nnz
+        D1p = D1[part.row0 : part.row0 + part.m_part]
+        if D1p.shape[0] < part.m_pad:
+            D1p = jnp.pad(D1p, ((0, part.m_pad - D1p.shape[0]), (0, 0)))
+        rows_slot = (
+            part.row_start[:, None] + part.local_rows
+        ).reshape(-1)
+        rows_slot = jnp.minimum(rows_slot, part.m_pad - 1)
+        d1 = jnp.take(D1p, rows_slot, axis=0).astype(acc)
+        pieces = []
+        for col0, ncols, s0, s1 in part.tile_slices:
+            pieces.append(
+                jnp.take(D2[col0 : col0 + ncols], part.lcols[s0:s1], axis=0)
+            )
+        g2 = (
+            pieces[0] if len(pieces) == 1 else jnp.concatenate(pieces, 0)
+        ).astype(acc)
+        prod = jnp.sum(d1 * g2, axis=-1)
+        valid = (part.local_rows < R).reshape(-1)
+        dst = jnp.where(valid, part.src, nnz)
+        out = out.at[dst].set(prod)
+    return out[:nnz].astype(D1.dtype)

@@ -95,6 +95,32 @@ def sddmm_coo(
     return _sddmm_core(cfg, rows, cols, D1, D2)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=())
+def _sddmm_adj_core(adj, D1, D2):
+    from gespmm_tpu.kernels.spmm_stream import sddmm_tiled
+
+    return sddmm_tiled(adj.plan, D1, D2)
+
+
+def _sddmm_adj_fwd(adj, D1, D2):
+    return _sddmm_adj_core(adj, D1, D2), (adj, D1, D2)
+
+
+def _sddmm_adj_bwd(res, g):
+    # Both gradients are SpMMs with g as edge values — routed through the
+    # public op so they ride the tiled stream kernel (plan / plan_t).
+    from gespmm_tpu.ops.spmm import spmm
+
+    adj, D1, D2 = res
+    weighted = adj.with_data(g)
+    grad_D1 = spmm(weighted, D2, method="auto").astype(D1.dtype)
+    grad_D2 = spmm(weighted.transpose(), D1, method="auto").astype(D2.dtype)
+    return (None, grad_D1, grad_D2)
+
+
+_sddmm_adj_core.defvjp(_sddmm_adj_fwd, _sddmm_adj_bwd)
+
+
 def sddmm(
     adj: Union["CSR", "object"],
     D1: Array,
@@ -107,13 +133,31 @@ def sddmm(
     ≙ `sddmm.csr_sddmm` (`sddmm.cpp:50-61`) — where the CUDA kernel recovers
     each edge's row by binary search (`computeUtil.h:11-28`), we expand the
     indptr once into row ids (cheap cumsum, fused by XLA).
+
+    When ``adj`` is an `Adjacency` carrying a tiled stream plan and method
+    is "auto"/"tiled", both gathers run against VMEM-sized tables (see
+    `kernels/spmm_stream.sddmm_tiled`) and the VJP's two SpMMs ride the
+    stream kernel.
     """
     from gespmm_tpu.ops.spmm import Adjacency
+    from gespmm_tpu.sparse.partition import TiledSpmmPlan
 
     if isinstance(adj, Adjacency):
+        if (
+            method in ("auto", "tiled")
+            and isinstance(adj.plan, TiledSpmmPlan)
+            and isinstance(adj.plan_t, TiledSpmmPlan)
+        ):
+            if D1.ndim != 2 or D2.ndim != 2 or D1.shape[1] != D2.shape[1]:
+                raise ValueError(
+                    f"D1 {D1.shape} / D2 {D2.shape} must be (m,K)/(n,K)"
+                )
+            return _sddmm_adj_core(adj, D1, D2)
         csr = adj.csr
     else:
         csr = adj
+    if method == "tiled":
+        method = "auto"
     rows = expand_indptr(csr.indptr, csr.nnz)
     return sddmm_coo(
         rows, csr.indices, D1, D2, shape=csr.shape, method=method

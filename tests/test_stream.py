@@ -126,3 +126,40 @@ def test_spmm_tiled_jit_stability():
     f = jax.jit(lambda b: spmm(adj, b, method="tiled"))
     o1, o2 = f(B), f(B)
     np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))
+
+
+def test_sddmm_tiled_matches_dense_and_grads():
+    csr, mat = random_csr(60, 50, density=0.12, seed=9)
+    adj = Adjacency.from_csr(csr, plan=True, col_tile=16, rows_per_block=8,
+                             chunk_nnz=8, part_rows=24)
+    rng = np.random.default_rng(9)
+    D1 = jnp.asarray(rng.standard_normal((60, 16)).astype(np.float32))
+    D2 = jnp.asarray(rng.standard_normal((50, 16)).astype(np.float32))
+
+    from gespmm_tpu.ops.sddmm import sddmm
+
+    out = sddmm(adj, D1, D2)
+    coo = mat.tocoo()
+    golden = np.einsum(
+        "ek,ek->e", np.asarray(D1)[coo.row], np.asarray(D2)[coo.col]
+    )
+    # golden follows scipy's coo order == CSR order (sorted indices)
+    np.testing.assert_allclose(np.asarray(out), golden, rtol=1e-4, atol=1e-4)
+
+    # grads vs the dense masked formulation
+    mask = jnp.asarray((mat.toarray() != 0).astype(np.float32))
+
+    def loss_sparse(d1, d2):
+        return jnp.sum(jnp.sin(sddmm(adj, d1, d2)))
+
+    def loss_dense(d1, d2):
+        prod = (d1 @ d2.T) * mask
+        vals = prod[coo.row, coo.col]
+        return jnp.sum(jnp.sin(vals))
+
+    g1 = jax.grad(loss_sparse, argnums=(0, 1))(D1, D2)
+    g2 = jax.grad(loss_dense, argnums=(0, 1))(D1, D2)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4
+        )
