@@ -238,6 +238,13 @@ def _forward(cfg: _SpmmConfig, indptr, indices, data, plan, B, rows=None) -> Arr
         from gespmm_tpu.kernels.spmm_pallas import spmm_pallas
 
         return spmm_pallas(plan, data, B, cfg.m)
+    if method == "scatter" and cfg.reduce == "sum":
+        # Push-formulation benchmark tier (≙ the Gunrock baseline's
+        # atomicAdd-into-destination, `spmm_enactor.cuh:92-105`).
+        r = rows if rows is not None else expand_indptr(
+            indptr, indices.shape[0]
+        )
+        return ref.spmm_scatter_xla(r, indices, data, B, cfg.m)
     return ref.spmm_best_xla(
         indptr, indices, data, B, reduce=cfg.reduce, rows=rows
     )
@@ -328,7 +335,7 @@ def spmm(
         Pallas tile plan) or a bare `CSR` (transpose built on the fly).
       B: dense matrix (n, K).
       reduce: "sum" | "mean" | "max" | "min".
-      method: "auto" | "xla" | "pallas".
+      method: "auto" | "tiled" | "xla" | "pallas" | "scatter".
 
     Differentiable in ``B`` and in ``adj``'s edge values (if present).
     """

@@ -142,3 +142,17 @@ def test_add_self_loops():
     expect = mat.toarray().copy()
     np.fill_diagonal(expect, 2.5)
     np.testing.assert_allclose(dense, expect, **TOL)
+
+
+def test_spmm_scatter_method_matches_xla():
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gespmm_tpu.ops.spmm import Adjacency, spmm
+    from tests.conftest import random_csr
+
+    csr, mat = random_csr(50, 44, density=0.1, seed=31)
+    adj = Adjacency.from_csr(csr)
+    B = np.random.default_rng(31).standard_normal((44, 8)).astype(np.float32)
+    out = spmm(adj, jnp.asarray(B), method="scatter")
+    np.testing.assert_allclose(np.asarray(out), mat @ B, rtol=1e-5, atol=1e-5)
