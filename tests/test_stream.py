@@ -163,3 +163,19 @@ def test_sddmm_tiled_matches_dense_and_grads():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4
         )
+
+
+def test_spmm_tiled_bf16_binary_exact_fast_path():
+    # bf16 features + implicit-1.0 edges: the single-pass fast mode is
+    # exact at bf16 precision (sum accumulates in f32).
+    csr, mat = random_csr(64, 64, density=0.1, seed=13, binary=True)
+    adj = Adjacency.from_csr(csr, plan=True, col_tile=32, rows_per_block=16,
+                             chunk_nnz=16, part_rows=32)
+    B = np.random.default_rng(13).standard_normal((64, 16)).astype(np.float32)
+    B16 = jnp.asarray(B).astype(jnp.bfloat16)
+    out = spmm(adj, B16, method="tiled")
+    assert out.dtype == jnp.bfloat16
+    golden = mat @ np.asarray(B16.astype(jnp.float32))
+    np.testing.assert_allclose(
+        np.asarray(out.astype(jnp.float32)), golden, rtol=2e-2, atol=2e-2
+    )
