@@ -417,15 +417,19 @@ def _align_down(x: int, a: int) -> int:
 
 def build_tiled_plan(
     csr,
-    col_tile: int = 16384,
+    col_tile: Optional[int] = None,
     rows_per_block: Optional[int] = None,
     chunk_nnz: int = 256,
     part_rows: int = 65536,
+    k_hint: int = 128,
 ) -> TiledSpmmPlan:
     """Host-side construction of the stream-reduce plan.
 
     col_tile: B rows per gather tile (col_tile*K*4 bytes must be
-      VMEM-friendly; 16384 rows @ K=128 = 8 MB).
+      VMEM-friendly).  Default (None): density-derived — wide enough that
+      each (part, tile) window sees ~0.8 edges per row (so chunks of E
+      edges fit an R-row scatter window without heavy padding), clamped
+      to [8192, 65536] and to a ~32MB table at ``k_hint`` features.
     rows_per_block (R): output-row window one chunk may scatter into.
       Default (None): density-derived — wide enough that a chunk of E
       edges usually fits one window (pad vs MXU-flop tradeoff; the sweep
@@ -439,6 +443,15 @@ def build_tiled_plan(
     m, n = csr.shape
     nnz = int(indices.shape[0])
     E = int(chunk_nnz)
+    if col_tile is None:
+        # Aim for ~0.8 edges per row per (part, tile) window: the derived
+        # R then lands near the measured sweet spot (R ~ 2E) with modest
+        # chunk padding.
+        target = 0.8 * m * n / max(nnz, 1)
+        cap = max((32 << 20) // (4 * max(k_hint, 1)), 8192)
+        col_tile = 8192
+        while col_tile < min(65536, cap) and col_tile < target:
+            col_tile *= 2
     if rows_per_block is None:
         n_tiles = max(-(-n // col_tile), 1)
         density = nnz / max(m * n_tiles, 1)  # edges per row per tile
