@@ -20,12 +20,13 @@ Layering (bottom-up):
 """
 
 from gespmm_tpu.sparse.formats import CSR, CSC, COO, csr_from_coo, csr_to_csc
-from gespmm_tpu.ops.spmm import spmm
+from gespmm_tpu.ops.spmm import Adjacency, spmm
 from gespmm_tpu.ops.sddmm import sddmm, sddmm_coo
 
 __version__ = "0.1.0"
 
 __all__ = [
+    "Adjacency",
     "CSR",
     "CSC",
     "COO",

@@ -36,7 +36,7 @@ def bench_graph(
     seed: int = 0,
     scale_if_synth: int = 16,
     validate: bool = False,
-    tol: float = 1e-4,
+    tol: float = 5e-4,
 ):
     import jax
     import jax.numpy as jnp
@@ -82,6 +82,24 @@ def bench_graph(
         s = str(e)
         return "RESOURCE_EXHAUSTED" in s or "Ran out of memory" in s
 
+    _A64 = [None]
+
+    def _golden_mat():
+        if _A64[0] is None:
+            import scipy.sparse as sp
+
+            _A64[0] = sp.csr_matrix(
+                (
+                    np.ones(csr.nnz, np.float64)
+                    if csr.data is None
+                    else np.asarray(csr.data).astype(np.float64),
+                    np.asarray(csr.indices),
+                    np.asarray(csr.indptr),
+                ),
+                shape=csr.shape,
+            )
+        return _A64[0]
+
     for K_req in ks:
         # OOM-halving retry, ≙ the reference's max_ncols halving loop
         # (`spmm_test.cu:619-634`): if a width doesn't fit, benchmark the
@@ -98,28 +116,17 @@ def bench_graph(
                 if not is_oom(e) or K == 1:
                     raise
                 K //= 2
-        golden = None
-        if validate:
+        def make_golden(Bcur):
             # Opt-in golden check, ≙ `#define VALIDATE` + the CPU triple
-            # loop at `spmm_test.cu:595-604,671-698` — but vectorized scipy
-            # and at a 100x tighter tolerance.
-            import scipy.sparse as sp
+            # loop at `spmm_test.cu:595-604,671-698`.  float64 golden +
+            # mixed abs/rel tolerance: f32 accumulation of a degree-d row
+            # carries ~eps*sqrt(d)*|row| of inherent order noise, so a
+            # pure absolute tolerance misflags every high-degree row.
+            if not validate:
+                return None
+            return _golden_mat() @ np.asarray(Bcur).astype(np.float64)
 
-            # float64 golden + mixed abs/rel check: f32 accumulation of a
-            # degree-d row carries ~eps*sqrt(d)*|row| of inherent order
-            # noise (a deg-3582 hub row differs from scipy-f32 by ~2e-4),
-            # so a pure absolute tolerance misflags every high-degree row.
-            A = sp.csr_matrix(
-                (
-                    np.ones(csr.nnz, np.float64)
-                    if csr.data is None
-                    else np.asarray(csr.data).astype(np.float64),
-                    np.asarray(csr.indices),
-                    np.asarray(csr.indptr),
-                ),
-                shape=csr.shape,
-            )
-            golden = A @ np.asarray(B).astype(np.float64)
+        golden = make_golden(B)
         for method in methods:
           # One retry absorbs transient remote-compile failures (the
           # tunneled compile service occasionally 500s).
@@ -168,6 +175,7 @@ def bench_graph(
                     B = jnp.asarray(
                         rng.standard_normal((n, K)).astype(np.float32)
                     )
+                    golden = make_golden(B)
                 elif attempt == 0:
                     continue
                 else:
@@ -199,16 +207,26 @@ def main(argv=None):
     p.add_argument("--chunk-nnz", type=int, default=64)
     p.add_argument("--validate", action="store_true",
                    help="golden-check each config vs scipy before timing")
-    p.add_argument("--tol", type=float, default=1e-4)
+    p.add_argument("--tol", type=float, default=5e-4,
+               help="max |out-golden64|/(1+|golden64|); f32 accumulation noise on high-degree hub rows reaches ~1e-4 for any implementation (reference validates at 1e-2)")
     args = p.parse_args(argv)
 
     for g in args.graphs:
-        row, _ = bench_graph(
+        row, results = bench_graph(
             g, args.k, iters=args.iters, methods=tuple(args.methods),
             rows_per_block=args.rows_per_block, chunk_nnz=args.chunk_nnz,
             csv_file=args.csv, validate=args.validate, tol=args.tol,
         )
         print(json.dumps(row))
+        errs = {
+            f"K={k}-{m}": v["error"]
+            for (k, m), v in results.items()
+            if "error" in v
+        }
+        if errs:
+            print(
+                json.dumps({"data": g, "errors": errs}), file=sys.stderr
+            )
 
 
 if __name__ == "__main__":

@@ -67,7 +67,15 @@ def _reduce_kernel(
 
     @pl.when(c == 0)
     def _():
-        out_ref[:] = jnp.zeros_like(out_ref)
+        # Zero in row-slices: a whole-buffer assignment materializes a
+        # second accumulator-sized temporary on the VMEM stack, which
+        # blows the scoped limit once m_pad*k_tile*4 exceeds ~half of it.
+        m_pad, ktile = out_ref.shape
+        z = min(m_pad, 4096)
+        zeros = jnp.zeros((z, ktile), out_ref.dtype)
+        for r0 in range(0, m_pad, z):
+            rows = min(z, m_pad - r0)
+            out_ref[r0 : r0 + rows, :] = zeros[:rows]
 
     lr = local_rows_ref[0, 0, :]  # (E,)
     rows_iota = jax.lax.broadcasted_iota(jnp.int32, (R, lr.shape[0]), 0)
