@@ -97,8 +97,12 @@ def edge_softmax(adj: Adjacency, logits: Array) -> Array:
     precursor"); provided so attention-style models compose from our
     primitives.  logits: (nnz,) in CSR order; softmax within each row.
     """
-    csr = adj.csr if isinstance(adj, Adjacency) else adj
-    rows = csr.row_ids()
+    if isinstance(adj, Adjacency):
+        csr = adj.csr
+        rows = adj.rows if adj.rows is not None else csr.row_ids()
+    else:
+        csr = adj
+        rows = csr.row_ids()
     m = csr.shape[0]
     mx = jax.ops.segment_max(logits, rows, num_segments=m)
     mx = jnp.where(jnp.isfinite(mx), mx, 0.0)
