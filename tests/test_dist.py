@@ -187,3 +187,34 @@ def test_dist_spmm_tiled_binary_uneven_rows():
     np.testing.assert_allclose(
         np.asarray(out)[:90], mat @ B, rtol=1e-4, atol=1e-4
     )
+
+
+def test_dist_spmm_tiled_with_model_axis():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from gespmm_tpu.parallel.dist_spmm import (
+        dist_spmm_tiled,
+        partition_adjacency,
+        partition_tiled,
+    )
+    from gespmm_tpu.parallel.mesh import make_mesh
+    from tests.conftest import random_csr
+
+    csr, mat = random_csr(64, 64, density=0.1, seed=13)
+    mesh = make_mesh(data=2, model=2, devices=jax.devices()[:4])
+    padj = partition_adjacency(csr, 2)
+    tplan = partition_tiled(csr, 2, col_tile=32, rows_per_block=16,
+                            chunk_nnz=16)
+    B = np.random.default_rng(13).standard_normal((64, 16)).astype(np.float32)
+    Bd = jax.device_put(
+        jnp.asarray(B), NamedSharding(mesh, P("data", "model"))
+    )
+    out = jax.jit(
+        lambda p, t, b: dist_spmm_tiled(p, t, b, mesh)
+    )(padj, tplan, Bd)
+    np.testing.assert_allclose(
+        np.asarray(out)[:64], mat @ B, rtol=1e-4, atol=1e-4
+    )
