@@ -214,7 +214,6 @@ def spmm_tiled(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     n, K = B.shape
-    K_pad = _round_up(K, 128)
     # bf16 inputs with implicit-1.0 edges: one bf16 MXU pass is EXACT
     # (the contributions already carry no more than bf16 precision), and
     # the gathered stream halves its HBM traffic.
@@ -222,17 +221,24 @@ def spmm_tiled(
         Bc, mode = B, "fast"
     else:
         Bc = B.astype(jnp.float32)
-    if K_pad != K:
-        Bc = jnp.pad(Bc, ((0, 0), (0, K_pad - K)))
+    # Max K per pass, capped so the resident accumulator (m_pad x kt x
+    # 4B) stays within ~64MB of VMEM for the largest part (streamed chunk
+    # buffers and the scoped limit take the rest of the 128MB on v5e).
+    m_pad_max = max(p.m_pad for p in plan.parts)
+    budget_rows = (64 * 1024 * 1024) // max(m_pad_max * 4, 1)
+    kt_max = min(k_tile, max(128, (budget_rows // 128) * 128))
+    if K <= kt_max:
+        # Single pass at the exact width — Pallas allows a block dim equal
+        # to the full array dim, so narrow K (e.g. 32) needs NO padding.
+        K_pad = K
+    else:
+        K_pad = _round_up(K, 128)
+        if K_pad != K:
+            Bc = jnp.pad(Bc, ((0, 0), (0, K_pad - K)))
 
     outs = []
     for part in plan.parts:
-        # Cap the K tile so the resident accumulator (m_pad x kt x 4B)
-        # stays within ~64MB of VMEM (streamed chunk buffers and the
-        # scoped limit take the rest of the 128MB on v5e).
-        kt = min(k_tile, K_pad)
-        budget_rows = (64 * 1024 * 1024) // max(part.m_pad * 4, 1)
-        kt = min(kt, max(128, (budget_rows // 128) * 128))
+        kt = min(kt_max, K_pad)
         while K_pad % kt:
             kt -= 128
         contrib = _gather_part(part, data, Bc)

@@ -388,7 +388,9 @@ def dist_spmm_tiled(
         B_full = jax.lax.all_gather(B_shard, axis, axis=0, tiled=True)
         B_full = B_full.astype(jnp.float32)
         K = B_full.shape[1]
-        K_pad = -(-K // 128) * 128
+        # Single pass at the exact width when K fits one tile (a Pallas
+        # block dim may equal the full array dim — no padding for K<128).
+        K_pad = K if K <= 128 else -(-K // 128) * 128
         if K_pad != K:
             B_full = jnp.pad(B_full, ((0, 0), (0, K_pad - K)))
         vals = None if data is None else jnp.take(data[0], src[0], axis=0)
