@@ -55,17 +55,18 @@ def _round_up(x: int, a: int) -> int:
 
 def _reduce_kernel(
     row_start_ref,  # (C,) SMEM scalar-prefetch
-    local_rows_ref,  # (1, 1, E) VMEM
-    contrib_ref,  # (E, k_tile) VMEM (streamed)
+    local_rows_ref,  # (G, 1, E) VMEM
+    contrib_ref,  # (G*E, k_tile) VMEM (streamed)
     out_ref,  # (m_pad, k_tile) VMEM-resident accumulator
     *,
     rows_per_block: int,
     mode: str,
+    group: int,
 ):
-    kt, c = pl.program_id(0), pl.program_id(1)
+    kt, cg = pl.program_id(0), pl.program_id(1)
     R = rows_per_block
 
-    @pl.when(c == 0)
+    @pl.when(cg == 0)
     def _():
         # Zero in row-slices: a whole-buffer assignment materializes a
         # second accumulator-sized temporary on the VMEM stack, which
@@ -77,10 +78,6 @@ def _reduce_kernel(
             rows = min(z, m_pad - r0)
             out_ref[r0 : r0 + rows, :] = zeros[:rows]
 
-    lr = local_rows_ref[0, 0, :]  # (E,)
-    rows_iota = jax.lax.broadcasted_iota(jnp.int32, (R, lr.shape[0]), 0)
-    onehot = rows_iota == lr[None, :]
-
     def dot(p, g):
         return jax.lax.dot_general(
             p, g,
@@ -88,35 +85,44 @@ def _reduce_kernel(
             preferred_element_type=jnp.float32,
         )
 
-    g32 = contrib_ref[:].astype(jnp.float32)
-    if mode == "trilo":
-        # Three bf16 passes (hi + mid + lo mantissa chunks) recover the
-        # full f32 value of every contribution; with the exact 0/1 bf16
-        # one-hot, the result matches f32 accumulation to roundoff — at
-        # 3 bf16 MXU passes instead of HIGHEST's ~6.
-        p = onehot.astype(jnp.bfloat16)
-        hi = g32.astype(jnp.bfloat16)
-        r1 = g32 - hi.astype(jnp.float32)
-        mid = r1.astype(jnp.bfloat16)
-        lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
-        acc = dot(p, hi) + dot(p, mid) + dot(p, lo)
-    elif mode == "hilo":
-        p = onehot.astype(jnp.bfloat16)
-        hi = g32.astype(jnp.bfloat16)
-        lo = (g32 - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-        acc = dot(p, hi) + dot(p, lo)
-    elif mode == "fast":
-        acc = dot(onehot.astype(jnp.bfloat16), g32.astype(jnp.bfloat16))
-    else:  # highest
-        acc = jax.lax.dot_general(
-            onehot.astype(jnp.float32), g32,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
+    # `group` chunks per grid step amortize the pipeline's fixed per-step
+    # cost (~1us measured), which dominates small graphs.
+    for i in range(group):
+        lr = local_rows_ref[i, 0, :]  # (E,)
+        E = lr.shape[0]
+        rows_iota = jax.lax.broadcasted_iota(jnp.int32, (R, E), 0)
+        onehot = rows_iota == lr[None, :]
+        g32 = contrib_ref[i * E : (i + 1) * E, :].astype(jnp.float32)
+        if mode == "trilo":
+            # Three bf16 passes (hi + mid + lo mantissa chunks) recover
+            # the full f32 value of every contribution; with the exact
+            # 0/1 bf16 one-hot, the result matches f32 accumulation to
+            # roundoff — at 3 bf16 MXU passes instead of HIGHEST's ~6.
+            p = onehot.astype(jnp.bfloat16)
+            hi = g32.astype(jnp.bfloat16)
+            r1 = g32 - hi.astype(jnp.float32)
+            mid = r1.astype(jnp.bfloat16)
+            lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+            acc = dot(p, hi) + dot(p, mid) + dot(p, lo)
+        elif mode == "hilo":
+            p = onehot.astype(jnp.bfloat16)
+            hi = g32.astype(jnp.bfloat16)
+            lo = (g32 - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            acc = dot(p, hi) + dot(p, lo)
+        elif mode == "fast":
+            acc = dot(
+                onehot.astype(jnp.bfloat16), g32.astype(jnp.bfloat16)
+            )
+        else:  # highest
+            acc = jax.lax.dot_general(
+                onehot.astype(jnp.float32), g32,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
 
-    rs = pl.multiple_of(row_start_ref[c], 8)  # host plan 8-aligns windows
-    out_ref[pl.ds(rs, R), :] += acc
+        rs = pl.multiple_of(row_start_ref[cg * group + i], 8)
+        out_ref[pl.ds(rs, R), :] += acc
 
 
 @functools.partial(
@@ -136,23 +142,24 @@ def _reduce_part(
     C, E = local_rows.shape
     K_pad = contrib.shape[1]
     n_k = K_pad // k_tile
+    G = 4 if C % 4 == 0 else 1  # plans pad C to CHUNK_GROUP
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,  # row_start
-        grid=(n_k, C),
+        grid=(n_k, C // G),
         in_specs=[
-            pl.BlockSpec((1, 1, E), lambda kt, c, rs: (c, 0, 0),
+            pl.BlockSpec((G, 1, E), lambda kt, cg, rs: (cg, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((E, k_tile), lambda kt, c, rs: (c, kt),
+            pl.BlockSpec((G * E, k_tile), lambda kt, cg, rs: (cg, kt),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (m_pad, k_tile), lambda kt, c, rs: (0, kt),
+            (m_pad, k_tile), lambda kt, cg, rs: (0, kt),
             memory_space=pltpu.VMEM,
         ),
     )
     kernel = functools.partial(
-        _reduce_kernel, rows_per_block=rows_per_block, mode=mode
+        _reduce_kernel, rows_per_block=rows_per_block, mode=mode, group=G
     )
     passes = {"highest": 6, "trilo": 3, "hilo": 2}.get(mode, 1)
     return pl.pallas_call(

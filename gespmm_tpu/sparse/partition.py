@@ -411,6 +411,51 @@ class TiledSpmmPlan:
         return (total - self.nnz) / max(total, 1)
 
 
+# Chunks per Pallas grid step in the stream-reduce kernel: the pipeline's
+# fixed per-step cost (~1us measured on v5e) dominates small graphs, so
+# plans pad their chunk count to a multiple of this and the kernel
+# processes a group per step.
+CHUNK_GROUP = 4
+
+
+def _group_pad_part(part: TiledPartPlan, group: int = CHUNK_GROUP) -> TiledPartPlan:
+    """Pad a part's chunk count to a multiple of `group` with sentinel
+    chunks (pure padding: rows sentinel, slots gather row 0 of the last
+    tile so the contribution stream stays finite)."""
+    C = part.num_chunks
+    padc = (-C) % group
+    if padc == 0:
+        return part
+    E, R = part.chunk_nnz, part.rows_per_block
+    local_rows = np.concatenate(
+        [np.asarray(part.local_rows), np.full((padc, E), R, np.int32)]
+    )
+    row_start = np.concatenate(
+        [np.asarray(part.row_start), np.zeros(padc, np.int32)]
+    )
+    src = np.concatenate(
+        [np.asarray(part.src), np.zeros(padc * E, np.int32)]
+    )
+    lcols = np.concatenate(
+        [np.asarray(part.lcols), np.zeros(padc * E, np.int32)]
+    )
+    ts = list(part.tile_slices)
+    col0, ncols, s0, s1 = ts[-1]
+    ts[-1] = (col0, ncols, s0, s1 + padc * E)
+    return TiledPartPlan(
+        src=jnp.asarray(src),
+        lcols=jnp.asarray(lcols),
+        local_rows=jnp.asarray(local_rows),
+        row_start=jnp.asarray(row_start),
+        tile_slices=tuple(ts),
+        row0=part.row0,
+        m_part=part.m_part,
+        m_pad=part.m_pad,
+        rows_per_block=R,
+        chunk_nnz=E,
+    )
+
+
 def _align_down(x: int, a: int) -> int:
     return (x // a) * a
 
@@ -508,7 +553,7 @@ def build_tiled_plan(
                 )
                 c0 = c1
             parts.append(
-                TiledPartPlan(
+                _group_pad_part(TiledPartPlan(
                     src=jnp.asarray(src_n.reshape(-1)),
                     lcols=jnp.asarray(lc_n.reshape(-1)),
                     local_rows=jnp.asarray(lr_n),
@@ -519,7 +564,7 @@ def build_tiled_plan(
                     m_pad=m_pad,
                     rows_per_block=Rp,
                     chunk_nnz=E,
-                )
+                ))
             )
             if m == 0:
                 break
@@ -568,7 +613,7 @@ def build_tiled_plan(
             tile_slices.append((0, min(col_tile, n), 0, E))
 
         parts.append(
-            TiledPartPlan(
+            _group_pad_part(TiledPartPlan(
                 src=jnp.asarray(np.concatenate(src_slots)),
                 lcols=jnp.asarray(np.concatenate(lcol_slots)),
                 local_rows=jnp.asarray(np.stack(lrow_chunks)),
@@ -581,7 +626,7 @@ def build_tiled_plan(
                 m_pad=m_pad,
                 rows_per_block=Rp,
                 chunk_nnz=E,
-            )
+            ))
         )
         if m == 0:
             break
