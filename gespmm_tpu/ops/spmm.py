@@ -162,13 +162,6 @@ class _SpmmConfig:
 # Forward dispatch
 # ---------------------------------------------------------------------------
 
-# Minimum group-dedup factor for the grouped kernel to beat per-row gathers.
-# Measured on v5e: at dedup ~2 the staged-byte amplification and the extra
-# MXU passes cancel the descriptor savings; the grouped tier only wins on
-# strongly banded structures.
-_GROUPED_MIN_DEDUP = 4.0
-
-
 def _build_plan(csr: CSR, kind: str, kwargs: dict):
     """Plan-selection heuristic — the TPU analogue of the reference's
     K-based kernel dispatch (`spmm_kernel.cu:186-206`), but driven by the
