@@ -81,9 +81,9 @@ class Adjacency:
     def from_csr(cls, csr: CSR, plan=False, **plan_kwargs) -> "Adjacency":
         """Build the paired adjacency.
 
-        plan: False (no Pallas tile plan) | True ("auto": grouped plan when
-        the graph has enough column locality, else per-row plan) |
-        "grouped" | "perrow".
+        plan: False (no tile plan) | True / "auto" / "tiled" (the stream
+        plan — the fastest tier measured on v5e) | "grouped" | "perrow"
+        (the per-row-DMA Pallas kernels, kept as explicit tiers).
         """
         csc, perm = csr_to_csc(csr, return_permutation=True)
         p = pt = None
