@@ -126,8 +126,8 @@ def _sddmm_pallas_call(rows_p, cols_p, D1, D2, interpret=False):
                 (1, 1, E), lambda c: (jnp.minimum(c + 1, C - 1), 0, 0),
                 memory_space=pltpu.SMEM,
             ),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(
             (1, 1, E), lambda c: (c, 0, 0), memory_space=pltpu.VMEM

@@ -220,7 +220,7 @@ def _spmm_pallas_call(
                 memory_space=pltpu.VMEM,
             ),
             # B stays in HBM; kernel gathers rows itself
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(
             (R, k_tile),

@@ -67,7 +67,7 @@ def dma_gather(cols, B, E, S):
         in_specs=[
             pl.BlockSpec((1, 1, E), lambda c: (c, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((1, K), lambda c: (0, 0),
                                memory_space=pltpu.VMEM),
