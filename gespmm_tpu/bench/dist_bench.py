@@ -36,6 +36,13 @@ def bench_weak_scaling(devices_list, scale, k, edge_factor, iters=20,
     from gespmm_tpu.utils import timing
     from gespmm_tpu.utils.datasets import rmat_graph
 
+    if len(set(d.process_index for d in jax.devices())) <= 1 and len(
+        jax.devices()
+    ) > 1 and jax.default_backend() == "cpu":
+        print(
+            json.dumps({"warning": "virtual single-host mesh: efficiency "
+                        "numbers measure contention, not scaling"})
+        )
     results = []
     base_rate = None
     for nd in devices_list:

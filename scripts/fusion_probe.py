@@ -30,22 +30,24 @@ def patched_reduce(fuse):
         C, E = local_rows.shape
         K_pad = contrib.shape[1]
         n_k = K_pad // k_tile
+        G = 4 if C % 4 == 0 else 1
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(n_k, C),
+            grid=(n_k, C // G),
             in_specs=[
-                pl.BlockSpec((1, 1, E), lambda kt, c, rs: (c, 0, 0),
+                pl.BlockSpec((G, 1, E), lambda kt, cg, rs: (cg, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((E, k_tile), lambda kt, c, rs: (c, kt),
+                pl.BlockSpec((G * E, k_tile), lambda kt, cg, rs: (cg, kt),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec(
-                (m_pad, k_tile), lambda kt, c, rs: (0, kt),
+                (m_pad, k_tile), lambda kt, cg, rs: (0, kt),
                 memory_space=pltpu.VMEM,
             ),
         )
         kernel = functools.partial(
-            ss._reduce_kernel, rows_per_block=rows_per_block, mode=mode
+            ss._reduce_kernel, rows_per_block=rows_per_block, mode=mode,
+            group=G,
         )
         return pl.pallas_call(
             kernel,
