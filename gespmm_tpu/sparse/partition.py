@@ -489,14 +489,20 @@ def build_tiled_plan(
     nnz = int(indices.shape[0])
     E = int(chunk_nnz)
     if col_tile is None:
-        # Aim for ~0.8 edges per row per (part, tile) window: the derived
-        # R then lands near the measured sweet spot (R ~ 2E) with modest
-        # chunk padding.
-        target = 0.8 * m * n / max(nnz, 1)
-        cap = max((32 << 20) // (4 * max(k_hint, 1)), 8192)
-        col_tile = 8192
-        while col_tile < min(65536, cap) and col_tile < target:
-            col_tile *= 2
+        # A SINGLE tile (whole B as the gather table) wins whenever it
+        # fits the fast-gather tier (~36MB measured on v5e): no piece
+        # concatenation, no chunk breaks at tile boundaries (measured:
+        # pubmed 66->76, rmat14 56->85, rmat16 58->84 GF/s at K=128).
+        if n * 4 * max(k_hint, 1) <= (36 << 20):
+            col_tile = max(n, 1)
+        else:
+            # Multi-tile: aim for ~0.8 edges per row per (part, tile)
+            # window so the derived R lands near the sweet spot (R ~ 2E)
+            # with modest chunk padding; 8-16MB tables measured best.
+            target = 0.8 * m * n / max(nnz, 1)
+            col_tile = 8192
+            while col_tile < 32768 and col_tile < target:
+                col_tile *= 2
     if rows_per_block is None:
         n_tiles = max(-(-n // col_tile), 1)
         density = nnz / max(m * n_tiles, 1)  # edges per row per tile
