@@ -39,15 +39,22 @@ def op_cost_table(fn: Callable, *args) -> Dict[str, float]:
 
 
 def spmm_roofline(
-    nnz: int, m: int, k: int, measured_s: float, hbm_gbps: float = 800.0
+    nnz: int, m: int, k: int, measured_s: float, hbm_gbps: float = 795.0,
+    gather_ns_per_row: float = 2.2,
 ) -> Dict[str, float]:
-    """Roofline for gather-SpMM: bytes = gathered B rows + indices + output.
+    """Roofline for gather-SpMM on TPU.
 
-    `hbm_gbps` defaults to the v5e-class stream bandwidth; pass a measured
-    value for honest %-of-roofline reporting (BASELINE.md targets >=70%).
+    Two bounds apply (docs/PERF.md): the bandwidth bound (gathered B rows
+    + indices + output at `hbm_gbps`) and the measured VMEM-tiled gather
+    bound (`gather_ns_per_row`, ~2.2ns/slot on v5e; 10ns if the dense
+    operand cannot be tiled into VMEM-sized tables).  Speed of light is
+    the max of the two.  Pass measured values for honest %-of-roofline
+    reporting (BASELINE.md targets >=70%).
     """
     bytes_moved = nnz * k * 4 + nnz * 8 + m * k * 4
-    sol_s = bytes_moved / (hbm_gbps * 1e9)
+    sol_s = max(
+        bytes_moved / (hbm_gbps * 1e9), nnz * gather_ns_per_row * 1e-9
+    )
     flops = 2.0 * nnz * k
     return {
         "bytes_moved": float(bytes_moved),
