@@ -488,6 +488,10 @@ def build_tiled_plan(
     m, n = csr.shape
     nnz = int(indices.shape[0])
     E = int(chunk_nnz)
+    # The reduce kernel's resident accumulator is m_pad x k_tile x 4B and
+    # k_tile cannot go below min(K, 128); clamp the part size so a 128-wide
+    # pass fits the ~64MB accumulator budget.
+    part_rows = min(part_rows, ((64 << 20) // (4 * 128) // 8) * 8)
     if col_tile is None:
         # A SINGLE tile (whole B as the gather table) wins whenever it
         # fits the fast-gather tier (~36MB measured on v5e): no piece
