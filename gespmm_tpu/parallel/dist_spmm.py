@@ -311,7 +311,14 @@ def partition_tiled(
                     cmax = max(cmax, (s1 - s0) // E)
         per_tile_chunks[t] = max(cmax, 1)
 
+    # Pad the chunk count to CHUNK_GROUP so the reduce kernel can fold a
+    # group of chunks per grid step (sentinel chunks are pure padding).
+    from gespmm_tpu.sparse.partition import CHUNK_GROUP
+
     C = sum(per_tile_chunks.values())
+    if C % CHUNK_GROUP:
+        per_tile_chunks[tile_ids[-1]] += (-C) % CHUNK_GROUP
+        C = sum(per_tile_chunks.values())
     S = C * E
     R = plans[0].rows_per_block
     m_pad = max(pp.m_pad for pp in plans)
