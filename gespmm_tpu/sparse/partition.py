@@ -105,14 +105,16 @@ class SpmmPlan:
 
 def build_spmm_plan(
     csr,
-    rows_per_block: int = 64,
-    chunk_nnz: int = 64,
+    rows_per_block: int = 128,
+    chunk_nnz: int = 256,
 ) -> SpmmPlan:
     """Build the chunk plan for one CSR structure (host-side, NumPy).
 
     rows_per_block (R): output rows owned by one accumulator block; must be a
       multiple of 8 (fp32 sublane).
     chunk_nnz (E): nonzeros gathered per grid step; controls DMA batch size.
+    Defaults are the measured v5e sweet spot for the per-row DMA kernel
+    (R=128/E=256: 14.4 ns/edge on rmat18 vs 16.3 at 64/64).
     """
     if rows_per_block % 8:
         raise ValueError("rows_per_block must be a multiple of 8")
