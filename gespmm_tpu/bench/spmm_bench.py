@@ -129,8 +129,12 @@ def bench_graph(
         golden = make_golden(B)
         for method in methods:
           # One retry absorbs transient remote-compile failures (the
-          # tunneled compile service occasionally 500s).
-          for attempt in range(2):
+          # tunneled compile service occasionally 500s).  OOM halves K and
+          # retries without consuming the attempt; when attempts run out
+          # the (K_req, method) cell is always recorded as an error rather
+          # than silently vanishing from the CSV.
+          attempts = 2
+          while True:
             try:
                 if method == "bcoo":
                     fn = jax.jit(lambda b: bcoo @ b)
@@ -176,10 +180,12 @@ def bench_graph(
                         rng.standard_normal((n, K)).astype(np.float32)
                     )
                     golden = make_golden(B)
-                elif attempt == 0:
                     continue
-                else:
-                    results[(K_req, method)] = {"error": str(e)[:200]}
+                attempts -= 1
+                if attempts > 0:
+                    continue
+                results[(K_req, method)] = {"error": str(e)[:200]}
+                break
 
     row = {"data": name, "m": m, "n": n, "nnz": csr.nnz}
     for (K, method), v in results.items():

@@ -62,21 +62,23 @@ def _reduce_kernel(
     rows_per_block: int,
     mode: str,
     group: int,
+    op: str = "sum",
 ):
     kt, cg = pl.program_id(0), pl.program_id(1)
     R = rows_per_block
+    init_val = {"sum": 0.0, "max": -jnp.inf, "min": jnp.inf}[op]
 
     @pl.when(cg == 0)
     def _():
-        # Zero in row-slices: a whole-buffer assignment materializes a
+        # Init in row-slices: a whole-buffer assignment materializes a
         # second accumulator-sized temporary on the VMEM stack, which
         # blows the scoped limit once m_pad*k_tile*4 exceeds ~half of it.
         m_pad, ktile = out_ref.shape
         z = min(m_pad, 4096)
-        zeros = jnp.zeros((z, ktile), out_ref.dtype)
+        fill = jnp.full((z, ktile), init_val, out_ref.dtype)
         for r0 in range(0, m_pad, z):
             rows = min(z, m_pad - r0)
-            out_ref[r0 : r0 + rows, :] = zeros[:rows]
+            out_ref[r0 : r0 + rows, :] = fill[:rows]
 
     def dot(p, g):
         return jax.lax.dot_general(
@@ -85,25 +87,81 @@ def _reduce_kernel(
             preferred_element_type=jnp.float32,
         )
 
+    def trilo_dot(p_bool, vals32):
+        # Three bf16 passes (hi + mid + lo mantissa chunks) with an exact
+        # 0/1 bf16 one-hot recover the full f32 value of each
+        # contribution; where each output row has at most ONE contributor
+        # (the max/min scatter) the result is bitwise-exact f32.
+        p = p_bool.astype(jnp.bfloat16)
+        hi = vals32.astype(jnp.bfloat16)
+        r1 = vals32 - hi.astype(jnp.float32)
+        mid = r1.astype(jnp.bfloat16)
+        lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+        return dot(p, hi) + dot(p, mid) + dot(p, lo)
+
     # `group` chunks per grid step amortize the pipeline's fixed per-step
     # cost (~1us measured), which dominates small graphs.
     for i in range(group):
         lr = local_rows_ref[i, 0, :]  # (E,)
         E = lr.shape[0]
         rows_iota = jax.lax.broadcasted_iota(jnp.int32, (R, E), 0)
+
+        if op in ("max", "min"):
+            # Segmented-scan reduction: slots within a chunk are sorted by
+            # row (the plan orders edges by (tile, row)), so each row's
+            # slots form one contiguous run.  An inclusive shift-scan with
+            # run boundaries leaves the run's reduction at its LAST slot;
+            # that single slot per (row, chunk) is scattered through an
+            # exact one-hot matmul and folded into the resident
+            # accumulator.  ≙ the reference's dedicated max kernel family
+            # (`dgl-custom/binary_reduce_max.cu:18-207`), re-expressed for
+            # VPU + MXU instead of warp-serial compare-exchange.
+            fold = jnp.maximum if op == "max" else jnp.minimum
+            ident = init_val
+            g32 = contrib_ref[i * E : (i + 1) * E, :].astype(jnp.float32)
+            ktile = g32.shape[1]
+            # Masks are built from int32 column/row vectors: Mosaic only
+            # supports minor-dim insertion (the [:, None] reshape) for
+            # 32-bit types, so comparisons happen AFTER the reshape.
+            lr_c = lr[:, None]  # (E, 1) int32
+            vals = jnp.where(lr_c < R, g32, ident)
+            s = 1
+            while s < E:
+                prev = jnp.concatenate(
+                    [jnp.full((s, ktile), ident, vals.dtype), vals[:-s]],
+                    axis=0,
+                )
+                prev_lr_c = jnp.concatenate(
+                    [jnp.full((s, 1), -1, lr.dtype), lr_c[:-s]], axis=0
+                )
+                vals = jnp.where(lr_c == prev_lr_c, fold(vals, prev), vals)
+                s *= 2
+            nxt_lr_c = jnp.concatenate(
+                [lr_c[1:], jnp.full((1, 1), -1, lr.dtype)], axis=0
+            )
+            last_c = (lr_c != nxt_lr_c) & (lr_c < R)  # (E, 1) bool
+            lr_r = lr[None, :]  # (1, E) int32
+            nxt_lr_r = jnp.concatenate(
+                [lr_r[:, 1:], jnp.full((1, 1), -1, lr.dtype)], axis=1
+            )
+            last_r = (lr_r != nxt_lr_r) & (lr_r < R)  # (1, E) bool
+            onehot = (rows_iota == lr_r) & last_r
+            sel = jnp.where(last_c, vals, 0.0)
+            folded = trilo_dot(onehot, sel)
+            has = jnp.sum(onehot.astype(jnp.float32), axis=1)  # (R,)
+            rs = pl.multiple_of(row_start_ref[cg * group + i], 8)
+            cur = out_ref[pl.ds(rs, R), :]
+            out_ref[pl.ds(rs, R), :] = jnp.where(
+                has[:, None] > 0, fold(cur, folded), cur
+            )
+            continue
+
         onehot = rows_iota == lr[None, :]
         g32 = contrib_ref[i * E : (i + 1) * E, :].astype(jnp.float32)
         if mode == "trilo":
-            # Three bf16 passes (hi + mid + lo mantissa chunks) recover
-            # the full f32 value of every contribution; with the exact
-            # 0/1 bf16 one-hot, the result matches f32 accumulation to
-            # roundoff — at 3 bf16 MXU passes instead of HIGHEST's ~6.
-            p = onehot.astype(jnp.bfloat16)
-            hi = g32.astype(jnp.bfloat16)
-            r1 = g32 - hi.astype(jnp.float32)
-            mid = r1.astype(jnp.bfloat16)
-            lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
-            acc = dot(p, hi) + dot(p, mid) + dot(p, lo)
+            # See trilo_dot: matches f32 accumulation to roundoff at 3
+            # bf16 MXU passes instead of HIGHEST's ~6.
+            acc = trilo_dot(onehot, g32)
         elif mode == "hilo":
             p = onehot.astype(jnp.bfloat16)
             hi = g32.astype(jnp.bfloat16)
@@ -127,7 +185,7 @@ def _reduce_kernel(
 
 @functools.partial(
     jax.jit, static_argnames=("m_pad", "rows_per_block", "k_tile",
-                              "mode", "interpret")
+                              "mode", "interpret", "op")
 )
 def _reduce_part(
     contrib: Array,  # (S, K_pad)
@@ -138,6 +196,7 @@ def _reduce_part(
     k_tile: int,
     mode: str,
     interpret: bool,
+    op: str = "sum",
 ) -> Array:
     C, E = local_rows.shape
     K_pad = contrib.shape[1]
@@ -159,7 +218,8 @@ def _reduce_part(
         ),
     )
     kernel = functools.partial(
-        _reduce_kernel, rows_per_block=rows_per_block, mode=mode, group=G
+        _reduce_kernel, rows_per_block=rows_per_block, mode=mode, group=G,
+        op=op,
     )
     passes = {"highest": 6, "trilo": 3, "hilo": 2}.get(mode, 1)
     return pl.pallas_call(
@@ -211,13 +271,19 @@ def spmm_tiled(
     k_tile: int = 512,
     mode: str = "trilo",
     interpret: Optional[bool] = None,
+    reduce: str = "sum",
 ) -> Array:
-    """Sum-reduce SpMM via tiled gather + streaming VMEM reduction.
+    """SpMM via tiled gather + streaming VMEM reduction.
 
     ``data``: per-edge values in CSR order, or None for implicit 1.0.
     Output dtype follows B (accumulation is always f32).
-    ``mode``: "trilo" (default, f32-grade) | "hilo" | "highest" | "fast".
+    ``mode``: "trilo" (default, f32-grade) | "hilo" | "highest" | "fast"
+      (sum only — max/min use an exact segmented scan + one-hot select).
+    ``reduce``: "sum" | "max" | "min".  Empty rows produce 0 under every
+    monoid (matching ops/reference semantics).
     """
+    if reduce not in ("sum", "max", "min"):
+        raise ValueError(f"spmm_tiled reduce must be sum/max/min, got {reduce!r}")
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     n, K = B.shape
@@ -233,7 +299,11 @@ def spmm_tiled(
     # buffers and the scoped limit take the rest of the 128MB on v5e).
     m_pad_max = max(p.m_pad for p in plan.parts)
     budget_rows = (64 * 1024 * 1024) // max(m_pad_max * 4, 1)
+    # kt_max must be a multiple of 128 whenever a multi-pass split is
+    # needed (K > kt_max): the fitting loop below steps by 128, so a
+    # non-multiple (e.g. caller k_tile=200) would never divide K_pad.
     kt_max = min(k_tile, max(128, (budget_rows // 128) * 128))
+    kt_max = max(128, (kt_max // 128) * 128)
     if K <= kt_max:
         # Single pass at the exact width — Pallas allows a block dim equal
         # to the full array dim, so narrow K (e.g. 32) needs NO padding.
@@ -258,10 +328,165 @@ def spmm_tiled(
             kt,
             mode,
             interpret,
+            op=reduce,
         )
         outs.append(out_p[: part.m_part])
     out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, 0)
-    return out[:m, :K].astype(B.dtype)
+    out = out[:m, :K]
+    if reduce in ("max", "min"):
+        # Rows with no nonzeros still hold the ±inf identity.
+        out = jnp.where(jnp.isfinite(out), out, 0.0)
+    return out.astype(B.dtype)
+
+
+def _fit_kt(plan: TiledSpmmPlan, K: int, k_tile: int = 512):
+    """(K_pad, kt): feature padding + per-pass tile width such that the
+    largest part's resident accumulator stays within the VMEM budget."""
+    m_pad_max = max(p.m_pad for p in plan.parts)
+    budget_rows = (64 * 1024 * 1024) // max(m_pad_max * 4, 1)
+    kt_max = min(k_tile, max(128, (budget_rows // 128) * 128))
+    kt_max = max(128, (kt_max // 128) * 128)
+    if K <= kt_max:
+        return K, K
+    K_pad = _round_up(K, 128)
+    kt = min(kt_max, K_pad)
+    while K_pad % kt:
+        kt -= 128
+    return K_pad, kt
+
+
+def _pad_cols(X: Array, K_pad: int) -> Array:
+    return X if X.shape[1] == K_pad else jnp.pad(
+        X, ((0, 0), (0, K_pad - X.shape[1]))
+    )
+
+
+def _part_rows_slice(part: TiledPartPlan, X: Array) -> Array:
+    """X[row0 : row0+m_part] padded to m_pad rows (gather table per part)."""
+    Xp = X[part.row0 : part.row0 + part.m_part]
+    if Xp.shape[0] < part.m_pad:
+        Xp = jnp.pad(Xp, ((0, part.m_pad - Xp.shape[0]), (0, 0)))
+    return Xp
+
+
+def _slot_rows(part: TiledPartPlan) -> Array:
+    """Per-slot part-local output row (sentinel slots clamped in range)."""
+    rows = (part.row_start[:, None] + part.local_rows).reshape(-1)
+    return jnp.minimum(rows, part.m_pad - 1)
+
+
+def _slot_valid(part: TiledPartPlan) -> Array:
+    return (part.local_rows < part.rows_per_block).reshape(-1)
+
+
+def _tile_gather(part: TiledPartPlan, X: Array) -> Array:
+    """Gather X rows per column tile (each gather hits a VMEM-sized slice)."""
+    pieces = [
+        jnp.take(X[col0 : col0 + ncols], part.lcols[s0:s1], axis=0)
+        for col0, ncols, s0, s1 in part.tile_slices
+    ]
+    return pieces[0] if len(pieces) == 1 else jnp.concatenate(pieces, 0)
+
+
+def spmm_minmax_vjp_tiled(
+    plan: TiledSpmmPlan,
+    plan_t: TiledSpmmPlan,
+    data: Optional[Array],
+    csc_data: Optional[Array],
+    B: Array,
+    out: Array,
+    g: Array,
+    op: str,
+    *,
+    interpret: Optional[bool] = None,
+):
+    """Gradients of max/min-reduce SpMM through the stream plans.
+
+    Returns ``(grad_data_csc | None, grad_B)`` — grad_data in CSC edge
+    order (callers permute back to CSR with the adjacency's ``perm``).
+
+    Semantics match jnp.max's VJP (even tie-splitting), i.e. the XLA path
+    `ops/reference.spmm_max_vjp_edges` — but the two nnz×K reductions run
+    through the VMEM-resident stream kernel instead of XLA segment ops:
+      1. ties(r,k) = #achieving edges — indicator stream over `plan`,
+         sum-reduced ("fast" mode is exact for 0/1 values);
+      2. grad_B(c,k) = Σ val·g/ties over achieving edges — weight stream
+         over `plan_t` (edges grouped by column), sum-reduced.
+    Achievement tests are bitwise-exact: contributions are recomputed with
+    the same f32 gather·scale as the forward kernel, whose scan/scatter
+    preserves exact f32 values.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    K = B.shape[1]
+    nnz = plan.nnz
+    B32 = B.astype(jnp.float32)
+    out32 = out.astype(jnp.float32)
+    g32 = g.astype(jnp.float32)
+
+    # Phase 1: tie counts over the forward plan.
+    K_pad, kt = _fit_kt(plan, K)
+    Bp = _pad_cols(B32, K_pad)
+    outp = _pad_cols(out32, K_pad)
+    ties_parts = []
+    for part in plan.parts:
+        contrib = _gather_part(part, data, Bp)
+        out_slot = jnp.take(_part_rows_slice(part, outp), _slot_rows(part),
+                            axis=0)
+        ind = (
+            (contrib == out_slot) & _slot_valid(part)[:, None]
+        ).astype(jnp.float32)
+        tp = _reduce_part(
+            ind, part.local_rows, part.row_start, part.m_pad,
+            part.rows_per_block, kt, "fast", interpret, op="sum",
+        )
+        ties_parts.append(tp[: part.m_part])
+    ties = (
+        ties_parts[0] if len(ties_parts) == 1
+        else jnp.concatenate(ties_parts, 0)
+    )[: out.shape[0], :K]
+
+    # Phase 2: weight stream over the transpose plan.
+    K_pad_t, kt_t = _fit_kt(plan_t, K)
+    Bpt = _pad_cols(B32, K_pad_t)
+    outpt = _pad_cols(out32, K_pad_t)
+    gpt = _pad_cols(g32, K_pad_t)
+    tiespt = _pad_cols(ties, K_pad_t)
+    grad_parts = []
+    gd = None if data is None else jnp.zeros((nnz + 1,), jnp.float32)
+    for part in plan_t.parts:
+        vals_slot = (
+            None if csc_data is None
+            else jnp.take(csc_data, part.src, axis=0).astype(jnp.float32)
+        )
+        b_slot = jnp.take(_part_rows_slice(part, Bpt), _slot_rows(part),
+                          axis=0)
+        contrib = b_slot if vals_slot is None else b_slot * vals_slot[:, None]
+        out_slot = _tile_gather(part, outpt)
+        g_slot = _tile_gather(part, gpt)
+        ties_slot = _tile_gather(part, tiespt)
+        valid = _slot_valid(part)
+        eq = (contrib == out_slot) & valid[:, None]
+        w = jnp.where(eq, g_slot / jnp.maximum(ties_slot, 1.0), 0.0)
+        stream = w if vals_slot is None else w * vals_slot[:, None]
+        gb = _reduce_part(
+            stream, part.local_rows, part.row_start, part.m_pad,
+            part.rows_per_block, kt_t, "trilo", interpret, op="sum",
+        )
+        grad_parts.append(gb[: part.m_part])
+        if gd is not None:
+            # Barrier: XLA:TPU intermittently miscompiles scatters whose
+            # update operand is a fused product of gathers (see
+            # ops/reference.spmm_max_vjp_edges).
+            gd_slot = jax.lax.optimization_barrier(
+                jnp.sum(w * b_slot, axis=-1)
+            )
+            gd = gd.at[jnp.where(valid, part.src, nnz)].set(gd_slot)
+    grad_B = (
+        grad_parts[0] if len(grad_parts) == 1
+        else jnp.concatenate(grad_parts, 0)
+    )[: B.shape[0], :K]
+    return (None if gd is None else gd[:nnz]), grad_B
 
 
 def sddmm_tiled(

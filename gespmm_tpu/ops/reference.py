@@ -167,7 +167,13 @@ def spmm_max_vjp_edges(
     ties_rows = jnp.take(ties, rows, axis=0)
     weight = is_max / jnp.maximum(ties_rows, 1.0)
     g_rows = jnp.take(g, rows, axis=0).astype(acc)
-    return g_rows * weight
+    # optimization_barrier: XLA:TPU (v5e, 2026-08) intermittently
+    # miscompiles a scatter-add whose update operand is a FUSED product
+    # of row gathers (observed: grad_B off by O(row degree) on ~90% of
+    # rows, flaky across compilations of the same jaxpr).  Materializing
+    # the per-edge cotangents before the consuming scatter sidesteps the
+    # bad fusion; cost is one nnz*K stream, negligible vs the scatter.
+    return jax.lax.optimization_barrier(g_rows * weight)
 
 
 def spmm_best_xla(

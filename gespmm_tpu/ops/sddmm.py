@@ -94,11 +94,16 @@ def sddmm_coo(
     return _sddmm_core(cfg, rows, cols, D1, D2)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=())
-def _sddmm_adj_core(adj, D1, D2):
-    # Forward: the XLA gather-dot formulation (measured FASTER than the
-    # slot-layout tiled variant — the 1-D scatter restoring CSR edge
-    # order costs more than the tiled gathers save; XLA's own take is
+def _sddmm_adj_forward(fwd: str, adj, D1, D2):
+    if fwd == "tiled":
+        # Slot-layout SDDMM over the stream plan (an explicit tier: both
+        # gathers hit VMEM-sized tables, but the 1-D scatter restoring
+        # CSR edge order costs ~6ns/edge — measure per workload).
+        from gespmm_tpu.kernels.spmm_stream import sddmm_tiled
+
+        return sddmm_tiled(adj.plan, D1, D2)
+    # "auto"/"xla": the XLA gather-dot formulation (measured FASTER than
+    # the slot-layout tiled variant on the bundled corpus — XLA's take is
     # already VMEM-fast for the common m*K <= ~36MB case).  The win of
     # routing through the Adjacency is the backward: both gradient SpMMs
     # ride the tiled stream kernel.
@@ -110,11 +115,16 @@ def _sddmm_adj_core(adj, D1, D2):
     return ref.sddmm_xla(rows, adj.csr.indices, D1, D2)
 
 
-def _sddmm_adj_fwd(adj, D1, D2):
-    return _sddmm_adj_core(adj, D1, D2), (adj, D1, D2)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _sddmm_adj_core(fwd, adj, D1, D2):
+    return _sddmm_adj_forward(fwd, adj, D1, D2)
 
 
-def _sddmm_adj_bwd(res, g):
+def _sddmm_adj_fwd(fwd, adj, D1, D2):
+    return _sddmm_adj_core(fwd, adj, D1, D2), (adj, D1, D2)
+
+
+def _sddmm_adj_bwd(fwd, res, g):
     # Both gradients are SpMMs with g as edge values — routed through the
     # public op so they ride the tiled stream kernel (plan / plan_t).
     from gespmm_tpu.ops.spmm import spmm
@@ -150,7 +160,7 @@ def sddmm(
 
     if isinstance(adj, Adjacency):
         if (
-            method in ("auto", "tiled")
+            method in ("auto", "tiled", "xla")
             and isinstance(adj.plan, TiledSpmmPlan)
             and isinstance(adj.plan_t, TiledSpmmPlan)
         ):
@@ -158,12 +168,19 @@ def sddmm(
                 raise ValueError(
                     f"D1 {D1.shape} / D2 {D2.shape} must be (m,K)/(n,K)"
                 )
-            return _sddmm_adj_core(adj, D1, D2)
+            return _sddmm_adj_core(
+                "tiled" if method == "tiled" else "xla", adj, D1, D2
+            )
         csr = adj.csr
     else:
         csr = adj
     if method == "tiled":
-        method = "auto"
+        # An explicitly requested kernel tier must never silently measure
+        # something else (same strictness rule as ops/spmm).
+        raise ValueError(
+            "method='tiled' needs an Adjacency built with plan=True "
+            "(Adjacency.from_csr(csr, plan=True))"
+        )
     rows = expand_indptr(csr.indptr, csr.nnz)
     return sddmm_coo(
         rows, csr.indices, D1, D2, shape=csr.shape, method=method

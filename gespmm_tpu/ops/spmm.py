@@ -262,12 +262,14 @@ def _resolve_method(method: str, plan, K: int) -> str:
 
 def _forward(cfg: _SpmmConfig, indptr, indices, data, plan, B, rows=None) -> Array:
     method = _resolve_method(cfg.method, plan, B.shape[-1])
-    if method == "tiled" and plan is not None and cfg.reduce == "sum":
+    if method == "tiled" and plan is not None and cfg.reduce in (
+        "sum", "max", "min"
+    ):
         from gespmm_tpu.kernels.spmm_stream import spmm_tiled
         from gespmm_tpu.sparse.partition import TiledSpmmPlan
 
         if isinstance(plan, TiledSpmmPlan):
-            return spmm_tiled(plan, data, B, cfg.m)
+            return spmm_tiled(plan, data, B, cfg.m, reduce=cfg.reduce)
     if method == "pallas" and plan is not None and cfg.reduce == "sum":
         from gespmm_tpu.sparse.partition import GroupedSpmmPlan
 
@@ -306,13 +308,13 @@ def _spmm_core_fwd(cfg, indptr, indices, rows, t_indptr, t_indices, t_rows,
     out = _forward(cfg, indptr, indices, data, plan, B, rows=rows)
     keep_out = out if cfg.reduce in ("max", "min") else None
     res = (indptr, indices, rows, t_indptr, t_indices, t_rows, perm,
-           plan_t, data, B, keep_out)
+           plan, plan_t, data, B, keep_out)
     return out, res
 
 
 def _spmm_core_bwd(cfg, res, g):
-    (indptr, indices, rows, t_indptr, t_indices, t_rows, perm, plan_t,
-     data, B, out) = res
+    (indptr, indices, rows, t_indptr, t_indices, t_rows, perm, plan,
+     plan_t, data, B, out) = res
     nnz = indices.shape[0]
 
     if cfg.reduce == "sum":
@@ -331,6 +333,29 @@ def _spmm_core_bwd(cfg, res, g):
                 rows = expand_indptr(indptr, nnz)
             grad_data = ref.sddmm_xla(rows, indices, g, B).astype(data.dtype)
     else:  # max / min — route gradient through achieving edges.
+        from gespmm_tpu.sparse.partition import TiledSpmmPlan
+
+        method = _resolve_method(cfg.method, plan, B.shape[-1])
+        if (
+            method == "tiled"
+            and isinstance(plan, TiledSpmmPlan)
+            and isinstance(plan_t, TiledSpmmPlan)
+        ):
+            # Stream-kernel backward: the forward ran the tiled kernel
+            # (same dispatch), so achievement tests are bitwise-exact.
+            from gespmm_tpu.kernels.spmm_stream import spmm_minmax_vjp_tiled
+
+            csc_data = None if data is None else data[perm]
+            gd_csc, grad_B = spmm_minmax_vjp_tiled(
+                plan, plan_t, data, csc_data, B, out, g, cfg.reduce
+            )
+            grad_data = None
+            if gd_csc is not None:
+                grad_data = (
+                    jnp.zeros((nnz,), jnp.float32).at[perm].set(gd_csc)
+                ).astype(data.dtype)
+            return (None, None, None, None, None, None, None, None, None,
+                    grad_data, grad_B.astype(B.dtype))
         if rows is None:
             rows = expand_indptr(indptr, nnz)
         grad_contrib = ref.spmm_max_vjp_edges(
@@ -345,6 +370,9 @@ def _spmm_core_bwd(cfg, res, g):
         else:
             scaled = grad_contrib
             grad_data = None
+        # Barrier before the scatter: see spmm_max_vjp_edges for the
+        # XLA:TPU fused-gather-product scatter miscompile this avoids.
+        scaled = jax.lax.optimization_barrier(scaled)
         grad_B = jax.ops.segment_sum(
             scaled, indices, num_segments=cfg.n
         ).astype(B.dtype)
@@ -359,6 +387,48 @@ _spmm_core.defvjp(_spmm_core_fwd, _spmm_core_bwd)
 # ---------------------------------------------------------------------------
 # Public API
 # ---------------------------------------------------------------------------
+
+
+# Reductions each EXPLICIT method supports (mean composes on sum, so any
+# method that does sum does mean).  "auto" may fall back silently; an
+# explicitly requested kernel must never silently measure something else.
+_METHOD_REDUCES = {
+    "tiled": ("sum", "mean", "max", "min"),
+    "pallas": ("sum", "mean"),
+    "scatter": ("sum", "mean"),
+    "xla": ("sum", "mean", "max", "min"),
+    "auto": ("sum", "mean", "max", "min"),
+}
+
+
+def _check_method(adj: "Adjacency", reduce: str, method: str) -> None:
+    if method not in _METHOD_REDUCES:
+        raise ValueError(
+            f"unknown method {method!r}; expected one of "
+            f"{tuple(_METHOD_REDUCES)}"
+        )
+    if reduce not in _METHOD_REDUCES[method]:
+        raise ValueError(
+            f"method={method!r} does not support reduce={reduce!r} "
+            f"(supported: {_METHOD_REDUCES[method]}); use method='auto' "
+            f"or 'xla'"
+        )
+    if method == "tiled":
+        from gespmm_tpu.sparse.partition import TiledSpmmPlan
+
+        if not isinstance(adj.plan, TiledSpmmPlan):
+            raise ValueError(
+                "method='tiled' needs an Adjacency built with "
+                "plan=True/'tiled' (Adjacency.from_csr(csr, plan=True))"
+            )
+    if method == "pallas":
+        from gespmm_tpu.sparse.partition import GroupedSpmmPlan, SpmmPlan
+
+        if not isinstance(adj.plan, (SpmmPlan, GroupedSpmmPlan)):
+            raise ValueError(
+                "method='pallas' needs an Adjacency built with "
+                "plan='perrow' or 'grouped'"
+            )
 
 
 def spmm(
@@ -386,6 +456,7 @@ def spmm(
     m, n = adj.shape
     if B.shape[0] != n:
         raise ValueError(f"A is {adj.shape}, B is {B.shape}: inner dims differ")
+    _check_method(adj, reduce, method)
 
     if reduce == "mean":
         out = spmm(adj, B, reduce="sum", method=method)

@@ -295,7 +295,16 @@ def partition_tiled(
             slab, col_tile=col_tile, rows_per_block=rows_per_block,
             chunk_nnz=E, part_rows=1 << 62,
         )
-        assert len(plan.parts) == 1
+        if len(plan.parts) != 1:
+            # build_tiled_plan clamps part rows so the reduce kernel's
+            # VMEM-resident accumulator fits (~64MB / 128 lanes / 4B).
+            max_rows = ((64 << 20) // (4 * 128) // 8) * 8
+            raise ValueError(
+                f"shard row slab of {rpp} rows exceeds the per-shard "
+                f"limit of {max_rows} rows (the stream-reduce kernel's "
+                f"VMEM accumulator budget); use >= "
+                f"{-(-m // max_rows)} parts for this graph"
+            )
         plans.append(plan.parts[0])
 
     # Unify: per tile, pad every slab to the max chunk count.

@@ -28,6 +28,10 @@ def save(directory: str, state, epoch: int) -> str:
     path = os.path.join(directory, f"ckpt_{epoch:08d}.npz")
     leaves, treedef = _flatten_with_paths(state)
     arrays = {f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)}
+    # The treedef string rides inside the archive so `restore` can verify
+    # STRUCTURE, not just leaf count — a reshaped model must not silently
+    # load positionally-matched weights.
+    arrays["__treedef__"] = np.array(str(treedef))
     np.savez(path + ".tmp.npz", **arrays)
     os.replace(path + ".tmp.npz", path)
     manifest = {
@@ -53,17 +57,34 @@ def latest_checkpoint(directory: str) -> Optional[str]:
 def restore(path: str, state_template) -> Tuple[Any, int]:
     """Load a checkpoint into the structure of `state_template`.
 
-    Returns (state, epoch).  The template provides the treedef; leaf arrays
-    are matched positionally (the treedef string in the manifest is a
-    human-readable sanity check, not a parser input).
+    Returns (state, epoch).  The template provides the treedef.  The
+    checkpoint is verified structurally before unflattening: the stored
+    treedef string must match the template's, and every leaf's shape and
+    dtype must match — positional matching alone would silently load wrong
+    weights into any reshaped model of equal leaf count.
     """
     data = np.load(path)
     leaves, treedef = _flatten_with_paths(state_template)
-    loaded = [data[f"leaf_{i}"] for i in range(len(leaves))]
-    if len(loaded) != len(leaves):
+    n_stored = len([k for k in data.files if k.startswith("leaf_")])
+    if n_stored != len(leaves):
         raise ValueError(
-            f"checkpoint has {len(loaded)} leaves, template {len(leaves)}"
+            f"checkpoint has {n_stored} leaves, template {len(leaves)}"
         )
+    if "__treedef__" in data.files:
+        stored_td = str(data["__treedef__"])
+        if stored_td != str(treedef):
+            raise ValueError(
+                "checkpoint structure does not match the template:\n"
+                f"  stored:   {stored_td}\n  template: {str(treedef)}"
+            )
+    loaded = [data[f"leaf_{i}"] for i in range(len(leaves))]
+    for i, (got, want) in enumerate(zip(loaded, leaves)):
+        w = np.asarray(want)
+        if got.shape != w.shape or got.dtype != w.dtype:
+            raise ValueError(
+                f"checkpoint leaf {i} is {got.shape}/{got.dtype}, "
+                f"template expects {w.shape}/{w.dtype}"
+            )
     state = jax.tree_util.tree_unflatten(treedef, loaded)
     epoch = int(os.path.basename(path).split("_")[1].split(".")[0])
     return state, epoch

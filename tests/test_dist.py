@@ -218,3 +218,17 @@ def test_dist_spmm_tiled_with_model_axis():
     np.testing.assert_allclose(
         np.asarray(out)[:64], mat @ B, rtol=1e-4, atol=1e-4
     )
+
+
+def test_partition_tiled_oversize_slab_raises():
+    import pytest
+
+    from gespmm_tpu.parallel.dist_spmm import partition_tiled
+    from tests.conftest import random_csr
+
+    # 140000 rows in one part exceeds the stream kernel's VMEM
+    # accumulator budget (131072 rows); must raise a real error, not a
+    # strippable assert.
+    csr, _ = random_csr(140000, 64, density=0.0005, seed=41)
+    with pytest.raises(ValueError, match="exceeds"):
+        partition_tiled(csr, 1, col_tile=64, rows_per_block=8, chunk_nnz=8)

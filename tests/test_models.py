@@ -134,3 +134,30 @@ def test_gat_learns_communities(sbm):
     )
     assert res["test_acc"] > 0.8, f"GAT failed: {res['test_acc']}"
 
+
+
+def test_checkpoint_rejects_structure_mismatch(tmp_path):
+    import numpy as np
+    import pytest
+
+    from gespmm_tpu.train.checkpoint import restore, save
+
+    state = {"w": np.ones((4, 3), np.float32), "b": np.zeros((3,), np.float32)}
+    path = save(str(tmp_path), state, epoch=1)
+
+    # same leaf count, different shapes -> must raise
+    bad_shape = {"w": np.ones((3, 4), np.float32),
+                 "b": np.zeros((3,), np.float32)}
+    with pytest.raises(ValueError, match="leaf"):
+        restore(path, bad_shape)
+
+    # same leaf count + shapes, different tree structure -> must raise
+    bad_tree = {"u": np.ones((4, 3), np.float32),
+                "v": np.zeros((3,), np.float32)}
+    with pytest.raises(ValueError, match="structure"):
+        restore(path, bad_tree)
+
+    # matching template round-trips
+    got, epoch = restore(path, state)
+    assert epoch == 1
+    np.testing.assert_array_equal(got["w"], state["w"])

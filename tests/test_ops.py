@@ -156,3 +156,38 @@ def test_spmm_scatter_method_matches_xla():
     B = np.random.default_rng(31).standard_normal((44, 8)).astype(np.float32)
     out = spmm(adj, jnp.asarray(B), method="scatter")
     np.testing.assert_allclose(np.asarray(out), mat @ B, rtol=1e-5, atol=1e-5)
+
+
+def test_sddmm_tiled_tier_and_strictness():
+    import jax.numpy as jnp
+    import numpy as np
+    import pytest
+
+    from gespmm_tpu.ops.sddmm import sddmm
+    from gespmm_tpu.ops.spmm import Adjacency
+    from tests.conftest import random_csr
+
+    csr, mat = random_csr(48, 40, density=0.12, seed=31)
+    adj = Adjacency.from_csr(csr, plan=True, col_tile=16, rows_per_block=8,
+                             chunk_nnz=8, part_rows=24)
+    rng = np.random.default_rng(31)
+    D1 = jnp.asarray(rng.standard_normal((48, 16)).astype(np.float32))
+    D2 = jnp.asarray(rng.standard_normal((40, 16)).astype(np.float32))
+    out_tiled = sddmm(adj, D1, D2, method="tiled")
+    out_xla = sddmm(adj, D1, D2, method="xla")
+    np.testing.assert_allclose(
+        np.asarray(out_tiled), np.asarray(out_xla), rtol=1e-5, atol=1e-5
+    )
+    # gradient flows through the tiled tier too
+    import jax
+
+    g = jax.grad(lambda d: jnp.sum(sddmm(adj, d, D2, method="tiled") ** 2))(D1)
+    g2 = jax.grad(lambda d: jnp.sum(sddmm(adj, d, D2, method="xla") ** 2))(D1)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g2), rtol=1e-4,
+                               atol=1e-5)
+    # explicit tiled without a plan raises
+    plain = Adjacency.from_csr(csr)
+    with pytest.raises(ValueError, match="tiled"):
+        sddmm(plain, D1, D2, method="tiled")
+    with pytest.raises(ValueError, match="tiled"):
+        sddmm(csr, D1, D2, method="tiled")

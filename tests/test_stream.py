@@ -179,3 +179,160 @@ def test_spmm_tiled_bf16_binary_exact_fast_path():
     np.testing.assert_allclose(
         np.asarray(out.astype(jnp.float32)), golden, rtol=2e-2, atol=2e-2
     )
+
+
+def _dense_minmax(mat, B, op):
+    """Dense oracle: out[r,k] = op over nonzero c of A[r,c]*B[c,k]; empty
+    rows -> 0 (the op-layer semantics)."""
+    A = mat.toarray()
+    mask = A != 0
+    ident = -np.inf if op == "max" else np.inf
+    contrib = np.where(
+        mask[:, :, None], A[:, :, None] * B[None, :, :], ident
+    )
+    red = contrib.max(axis=1) if op == "max" else contrib.min(axis=1)
+    return np.where(np.isfinite(red), red, 0.0)
+
+
+@pytest.mark.parametrize("op", ["max", "min"])
+@pytest.mark.parametrize(
+    "shape,density,ct,rp,E,pr,binary",
+    [
+        ((60, 50), 0.15, 16, 8, 8, 24, False),   # many tiles, many parts
+        ((64, 64), 0.1, 1 << 20, 16, 16, 1 << 20, False),  # single tile
+        ((48, 40), 0.12, 16, 8, 8, 16, True),    # binary adjacency
+    ],
+)
+def test_spmm_tiled_minmax_interpret(op, shape, density, ct, rp, E, pr, binary):
+    csr, mat = random_csr(*shape, density=density, seed=21, binary=binary)
+    plan = build_tiled_plan(
+        csr, col_tile=ct, rows_per_block=rp, chunk_nnz=E, part_rows=pr
+    )
+    B = np.random.default_rng(21).standard_normal(
+        (shape[1], 16)
+    ).astype(np.float32)
+    out = spmm_tiled(
+        plan, csr.data, jnp.asarray(B), shape[0], interpret=True, reduce=op
+    )
+    if binary:
+        mat = mat.copy()
+        mat.data[:] = 1.0
+    golden = _dense_minmax(mat, B, op)
+    # max/min are exact selections — tight tolerance.
+    np.testing.assert_allclose(np.asarray(out), golden, rtol=1e-6, atol=1e-6)
+
+
+def test_spmm_tiled_minmax_powerlaw_long_runs():
+    # Hub rows span many chunks; the per-chunk scan + cross-chunk fold
+    # must still produce the exact row max.
+    csr, mat = powerlaw_csr(96, 80, avg_deg=10, seed=22)
+    plan = build_tiled_plan(csr, col_tile=32, rows_per_block=16, chunk_nnz=16,
+                            part_rows=40)
+    B = np.random.default_rng(22).standard_normal((80, 8)).astype(np.float32)
+    out = spmm_tiled(plan, csr.data, jnp.asarray(B), 96, interpret=True,
+                     reduce="max")
+    np.testing.assert_allclose(
+        np.asarray(out), _dense_minmax(mat, B, "max"), rtol=1e-6, atol=1e-6
+    )
+
+
+def test_spmm_max_dispatches_tiled_and_matches_xla():
+    csr, mat = random_csr(64, 64, density=0.08, seed=23)
+    adj = Adjacency.from_csr(csr, plan=True, col_tile=32, rows_per_block=16,
+                             chunk_nnz=16, part_rows=32)
+    B = jnp.asarray(
+        np.random.default_rng(23).standard_normal((64, 16)).astype(np.float32)
+    )
+    out_tiled = spmm(adj, B, reduce="max", method="tiled")
+    out_xla = spmm(adj, B, reduce="max", method="xla")
+    np.testing.assert_allclose(
+        np.asarray(out_tiled), np.asarray(out_xla), rtol=1e-6, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_tiled), _dense_minmax(mat, np.asarray(B), "max"),
+        rtol=1e-6, atol=1e-6,
+    )
+
+
+@pytest.mark.parametrize("op", ["max", "min"])
+def test_spmm_tiled_minmax_grad_matches_dense(op):
+    csr, mat = random_csr(40, 36, density=0.1, seed=24)
+    adj = Adjacency.from_csr(csr, plan=True, col_tile=16, rows_per_block=8,
+                             chunk_nnz=8, part_rows=24)
+    B = jnp.asarray(
+        np.random.default_rng(24).standard_normal((36, 8)).astype(np.float32)
+    )
+    A = jnp.asarray(mat.toarray())
+    mask = jnp.asarray(mat.toarray() != 0)
+    ident = -jnp.inf if op == "max" else jnp.inf
+    red = jnp.max if op == "max" else jnp.min
+
+    def loss_sparse(b):
+        return jnp.sum(jnp.sin(spmm(adj, b, reduce=op, method="tiled")))
+
+    def loss_dense(b):
+        contrib = jnp.where(mask[:, :, None], A[:, :, None] * b[None], ident)
+        out = red(contrib, axis=1)
+        out = jnp.where(jnp.isfinite(out), out, 0.0)
+        return jnp.sum(jnp.sin(out))
+
+    g1 = jax.grad(loss_sparse)(B)
+    g2 = jax.grad(loss_dense)(B)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-4,
+                               atol=1e-5)
+
+
+def test_spmm_tiled_max_edge_value_grad():
+    # d(loss)/d(edge values) through the tiled max backward vs the XLA
+    # reference backward (same tie-splitting semantics).
+    csr, mat = random_csr(32, 30, density=0.12, seed=25)
+    adj = Adjacency.from_csr(csr, plan=True, col_tile=16, rows_per_block=8,
+                             chunk_nnz=8, part_rows=16)
+    B = jnp.asarray(
+        np.random.default_rng(25).standard_normal((30, 8)).astype(np.float32)
+    )
+
+    def loss(vals, method):
+        a = adj.with_data(vals)
+        return jnp.sum(jnp.sin(spmm(a, B, reduce="max", method=method)))
+
+    g_tiled = jax.grad(lambda v: loss(v, "tiled"))(adj.csr.data)
+    g_xla = jax.grad(lambda v: loss(v, "xla"))(adj.csr.data)
+    np.testing.assert_allclose(
+        np.asarray(g_tiled), np.asarray(g_xla), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_explicit_method_strictness():
+    csr, _ = random_csr(32, 32, density=0.1, seed=26)
+    adj_plain = Adjacency.from_csr(csr)
+    adj_tiled = Adjacency.from_csr(csr, plan=True, col_tile=16,
+                                   rows_per_block=8, chunk_nnz=8, part_rows=16)
+    B = jnp.asarray(
+        np.random.default_rng(26).standard_normal((32, 8)).astype(np.float32)
+    )
+    # tiled without a tiled plan must raise, not silently fall back.
+    with pytest.raises(ValueError, match="tiled"):
+        spmm(adj_plain, B, method="tiled")
+    # pallas without a per-row/grouped plan must raise.
+    with pytest.raises(ValueError, match="pallas"):
+        spmm(adj_tiled, B, method="pallas")
+    # explicit kernel method with an unsupported reduce must raise.
+    with pytest.raises(ValueError, match="reduce"):
+        spmm(adj_tiled, B, method="scatter", reduce="max")
+    with pytest.raises(ValueError, match="unknown method"):
+        spmm(adj_tiled, B, method="warp")
+    # auto may fall back silently for any reduce.
+    spmm(adj_plain, B, method="auto", reduce="max")
+
+
+def test_spmm_tiled_nonmultiple_k_tile_terminates():
+    # Regression: k_tile not a multiple of 128 with K > k_tile used to
+    # loop forever in the k-tile fitting loop.
+    csr, mat = random_csr(24, 20, density=0.2, seed=27)
+    plan = build_tiled_plan(csr, col_tile=8, rows_per_block=8, chunk_nnz=8,
+                            part_rows=16)
+    B = np.random.default_rng(27).standard_normal((20, 300)).astype(np.float32)
+    out = spmm_tiled(plan, csr.data, jnp.asarray(B), 24, k_tile=200,
+                     interpret=True)
+    np.testing.assert_allclose(np.asarray(out), mat @ B, **TOL)
