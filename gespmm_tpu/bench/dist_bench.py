@@ -28,9 +28,12 @@ def bench_weak_scaling(devices_list, scale, k, edge_factor, iters=20,
 
     from gespmm_tpu.parallel.dist_spmm import (
         dist_spmm,
-        dist_spmm_tiled,
         partition_adjacency,
-        partition_tiled,
+    )
+    from gespmm_tpu.parallel.halo import (
+        build_halo_partition,
+        halo_spmm,
+        pad_for_halo,
     )
     from gespmm_tpu.parallel.mesh import make_mesh
     from gespmm_tpu.utils import timing
@@ -53,24 +56,28 @@ def bench_weak_scaling(devices_list, scale, k, edge_factor, iters=20,
         extra = int(np.log2(nd))
         csr = rmat_graph(scale=scale + extra, edge_factor=edge_factor, seed=0)
         mesh = make_mesh(data=nd, model=1, devices=jax.devices()[:nd])
-        padj = partition_adjacency(csr, nd)
         n = csr.shape[1]
         B = jnp.asarray(
             np.random.default_rng(0).standard_normal((n, k)).astype(np.float32)
         )
-        # Pad rows of B to shard cleanly over the mesh.
-        n_pad = ((n + nd - 1) // nd) * nd
-        B = jnp.pad(B, ((0, n_pad - n), (0, 0)))
-        B = jax.device_put(B, NamedSharding(mesh, P("data", None)))
-
-        if method == "tiled":
-            tplan = partition_tiled(csr, nd)
-            fn = jax.jit(
-                lambda p, t, b: dist_spmm_tiled(p, t, b, mesh,
-                                                model_axis=None)
+        halo_frac = None
+        if method in ("halo", "halo-tiled"):
+            hp = build_halo_partition(csr, nd, tiled=(method == "halo-tiled"))
+            halo_frac = round(hp.footprint_fraction, 4)
+            B = jax.device_put(
+                pad_for_halo(hp, B), NamedSharding(mesh, P("data", None))
             )
-            run = lambda: fn(padj, tplan, B)  # noqa: E731
-        else:
+            tier = "tiled" if method == "halo-tiled" else "xla"
+            fn = jax.jit(
+                lambda h, b: halo_spmm(h, b, mesh, method=tier,
+                                       model_axis=None)
+            )
+            run = lambda: fn(hp, B)  # noqa: E731
+        else:  # all-gather reference tier
+            padj = partition_adjacency(csr, nd)
+            n_pad = ((n + nd - 1) // nd) * nd
+            B = jnp.pad(B, ((0, n_pad - n), (0, 0)))
+            B = jax.device_put(B, NamedSharding(mesh, P("data", None)))
             fn = jax.jit(
                 lambda p, b: dist_spmm(p, b, mesh, model_axis=None)
             )
@@ -91,6 +98,7 @@ def bench_weak_scaling(devices_list, scale, k, edge_factor, iters=20,
             "ms": round(dt * 1e3, 3),
             "nnz_per_s": round(rate, 0),
             "weak_scaling_efficiency": round(eff, 4),
+            **({} if halo_frac is None else {"halo_footprint_frac": halo_frac}),
         }
         results.append(row)
         print(json.dumps(row))
@@ -105,7 +113,8 @@ def main(argv=None):
     p.add_argument("--k", type=int, default=64)
     p.add_argument("--edge-factor", type=int, default=16)
     p.add_argument("--iters", type=int, default=20)
-    p.add_argument("--method", default="xla", choices=["xla", "tiled"])
+    p.add_argument("--method", default="halo-tiled",
+                   choices=["allgather", "halo", "halo-tiled"])
     args = p.parse_args(argv)
     bench_weak_scaling(
         args.devices, args.scale, args.k, args.edge_factor, args.iters,

@@ -4,10 +4,20 @@ from gespmm_tpu.parallel.dist_spmm import (
     partition_adjacency,
     dist_spmm,
 )
+from gespmm_tpu.parallel.halo import (
+    HaloPartition,
+    build_halo_partition,
+    halo_spmm,
+    pad_for_halo,
+)
 
 __all__ = [
     "make_mesh",
     "PartitionedAdjacency",
     "partition_adjacency",
     "dist_spmm",
+    "HaloPartition",
+    "build_halo_partition",
+    "halo_spmm",
+    "pad_for_halo",
 ]

@@ -1,9 +1,9 @@
 """Distributed SpMM: row-partitioned CSR with feature exchange collectives.
 
-The new capability over the single-GPU reference (SURVEY §2.3, §5.8): the
-communication pattern its Gunrock baseline expresses as atomicAdd-into-
-destination (`spmm_enactor.cuh:92-105`) becomes explicit XLA collectives
-inside `shard_map`:
+The simple all-gather formulation, kept as the reference tier and for
+max/min-with-model-axis cases; the SCALABLE formulation (exchange only
+the halo rows each shard needs, per-chip memory n/P·K + halo·K) lives in
+`parallel.halo` and is what the sharded train step uses.  Pattern:
 
   forward:  all_gather(B, "data")  → local CSR slab × full B → local C slab
   backward: automatic — the transpose of all_gather is psum_scatter, so
@@ -203,247 +203,3 @@ def dist_spmm(
 
 def dist_spmm_jit(padj, B, mesh, **kw):
     return jax.jit(partial(dist_spmm, mesh=mesh, **kw))(padj, B)
-
-
-# ---------------------------------------------------------------------------
-# Tiled stream plan per shard (the fast per-chip kernel under shard_map)
-# ---------------------------------------------------------------------------
-
-
-@jax.tree_util.register_pytree_node_class
-@dataclasses.dataclass(frozen=True)
-class PartitionedTiledPlan:
-    """Uniform per-slab stream-reduce plans, stacked over a parts axis.
-
-    Every slab gets the SAME static layout (same col tiles, same chunk
-    count per tile, padded to the per-tile maximum across slabs), which is
-    what `shard_map` requires: one traced program serves all shards.
-
-    Arrays (P parts, S slots, C chunks of E):
-      src:        (P, S) int32 — slab-local edge index per slot (pad -> 0;
-                  indexes the nnz-padded arrays of PartitionedAdjacency)
-      lcols:      (P, S) int32 — column local to the slot's tile
-      local_rows: (P, C, E) int32 — row - row_start; sentinel R on pads
-      row_start:  (P, C) int32
-    Static: tile_slices (col0, ncols, slot0, slot1), rows_per_part,
-      m_pad (slab output rows incl. alignment), R, E, global shape.
-    """
-
-    src: Array
-    lcols: Array
-    local_rows: Array
-    row_start: Array
-    tile_slices: Tuple = dataclasses.field(default=())
-    rows_per_part: int = 0
-    m_pad: int = 0
-    rows_per_block: int = 0
-    chunk_nnz: int = 0
-    shape: Tuple[int, int] = (0, 0)
-
-    def tree_flatten(self):
-        return (self.src, self.lcols, self.local_rows, self.row_start), (
-            self.tile_slices, self.rows_per_part, self.m_pad,
-            self.rows_per_block, self.chunk_nnz, self.shape,
-        )
-
-    @classmethod
-    def tree_unflatten(cls, aux, children):
-        return cls(*children, *aux)
-
-
-def partition_tiled(
-    csr: CSR,
-    num_parts: int,
-    col_tile: int = 16384,
-    rows_per_block: Optional[int] = None,
-    chunk_nnz: int = 256,
-) -> PartitionedTiledPlan:
-    """Host-side: build one stream plan per row slab, padded to a uniform
-    static layout.  Pair with `partition_adjacency` (same slabbing) for the
-    edge values."""
-    from gespmm_tpu.sparse.partition import build_tiled_plan
-
-    indptr = np.asarray(csr.indptr)
-    indices = np.asarray(csr.indices)
-    m, n = csr.shape
-    rpp = (m + num_parts - 1) // num_parts
-    E = int(chunk_nnz)
-
-    if rows_per_block is None:
-        n_tiles = max(-(-n // col_tile), 1)
-        density = csr.nnz / max(m * n_tiles, 1)
-        rows_per_block = int(
-            min(1024, max(256, -(-int(1.6 * E / max(density, 1e-9)) // 8) * 8))
-        )
-
-    plans = []
-    for p in range(num_parts):
-        r0, r1 = p * rpp, min((p + 1) * rpp, m)
-        s, e = int(indptr[min(r0, m)]), int(indptr[min(r1, m)])
-        local_ptr = (indptr[r0 : r1 + 1] - s).astype(np.int32)
-        if r1 - r0 < rpp:  # pad trailing slab to rpp rows
-            local_ptr = np.concatenate(
-                [local_ptr, np.full(rpp - (r1 - r0), local_ptr[-1], np.int32)]
-            )
-        slab = CSR(
-            indptr=jnp.asarray(local_ptr),
-            indices=jnp.asarray(indices[s:e]),
-            data=None,
-            shape=(rpp, n),
-        )
-        plan = build_tiled_plan(
-            slab, col_tile=col_tile, rows_per_block=rows_per_block,
-            chunk_nnz=E, part_rows=1 << 62,
-        )
-        if len(plan.parts) != 1:
-            # build_tiled_plan clamps part rows so the reduce kernel's
-            # VMEM-resident accumulator fits (~64MB / 128 lanes / 4B).
-            max_rows = ((64 << 20) // (4 * 128) // 8) * 8
-            raise ValueError(
-                f"shard row slab of {rpp} rows exceeds the per-shard "
-                f"limit of {max_rows} rows (the stream-reduce kernel's "
-                f"VMEM accumulator budget); use >= "
-                f"{-(-m // max_rows)} parts for this graph"
-            )
-        plans.append(plan.parts[0])
-
-    # Unify: per tile, pad every slab to the max chunk count.
-    tile_ids = sorted(
-        {col0 // col_tile for pp in plans for col0, _, _, _ in pp.tile_slices}
-    )
-    per_tile_chunks = {}
-    for t in tile_ids:
-        cmax = 0
-        for pp in plans:
-            for col0, _, s0, s1 in pp.tile_slices:
-                if col0 // col_tile == t:
-                    cmax = max(cmax, (s1 - s0) // E)
-        per_tile_chunks[t] = max(cmax, 1)
-
-    # Pad the chunk count to CHUNK_GROUP so the reduce kernel can fold a
-    # group of chunks per grid step (sentinel chunks are pure padding).
-    from gespmm_tpu.sparse.partition import CHUNK_GROUP
-
-    C = sum(per_tile_chunks.values())
-    if C % CHUNK_GROUP:
-        per_tile_chunks[tile_ids[-1]] += (-C) % CHUNK_GROUP
-        C = sum(per_tile_chunks.values())
-    S = C * E
-    R = plans[0].rows_per_block
-    m_pad = max(pp.m_pad for pp in plans)
-    Pn = num_parts
-    src = np.zeros((Pn, S), np.int32)
-    lcols = np.zeros((Pn, S), np.int32)
-    local_rows = np.full((Pn, C, E), R, np.int32)
-    row_start = np.zeros((Pn, C), np.int32)
-    tile_slices = []
-    off_chunks = 0
-    for t in tile_ids:
-        ct = per_tile_chunks[t]
-        col0 = t * col_tile
-        ncols = min(col_tile, n - col0)
-        tile_slices.append((col0, ncols, off_chunks * E, (off_chunks + ct) * E))
-        for p, pp in enumerate(plans):
-            for c0, _, s0, s1 in pp.tile_slices:
-                if c0 // col_tile != t:
-                    continue
-                nch = (s1 - s0) // E
-                chunk0 = s0 // E
-                src[p, off_chunks * E : off_chunks * E + (s1 - s0)] = (
-                    np.asarray(pp.src[s0:s1])
-                )
-                lcols[p, off_chunks * E : off_chunks * E + (s1 - s0)] = (
-                    np.asarray(pp.lcols[s0:s1])
-                )
-                local_rows[p, off_chunks : off_chunks + nch] = np.asarray(
-                    pp.local_rows[chunk0 : chunk0 + nch]
-                )
-                row_start[p, off_chunks : off_chunks + nch] = np.asarray(
-                    pp.row_start[chunk0 : chunk0 + nch]
-                )
-        off_chunks += ct
-
-    return PartitionedTiledPlan(
-        src=jnp.asarray(src),
-        lcols=jnp.asarray(lcols),
-        local_rows=jnp.asarray(local_rows),
-        row_start=jnp.asarray(row_start),
-        tile_slices=tuple(tile_slices),
-        rows_per_part=rpp,
-        m_pad=m_pad,
-        rows_per_block=R,
-        chunk_nnz=E,
-        shape=(m, n),
-    )
-
-
-def dist_spmm_tiled(
-    padj: PartitionedAdjacency,
-    tplan: PartitionedTiledPlan,
-    B: Array,
-    mesh: Mesh,
-    *,
-    axis: str = "data",
-    model_axis: Optional[str] = "model",
-    mode: str = "trilo",
-) -> Array:
-    """Row-partitioned SpMM with the per-chip stream-reduce kernel.
-
-    Forward-only (benchmark / inference tier): training keeps the
-    differentiable `dist_spmm` XLA path.  B sharded P(axis, model_axis);
-    returns (num_parts*rows_per_part, K) sharded the same way.
-    """
-    from gespmm_tpu.kernels.spmm_stream import _reduce_part
-
-    rpp = tplan.rows_per_part
-    interpret = jax.default_backend() != "tpu"
-    model_in_mesh = model_axis if (model_axis in mesh.axis_names) else None
-    has_data = padj.data is not None
-
-    def body(src, lcols, local_rows, row_start, data, B_shard):
-        B_full = jax.lax.all_gather(B_shard, axis, axis=0, tiled=True)
-        B_full = B_full.astype(jnp.float32)
-        K = B_full.shape[1]
-        # Single pass at the exact width when K fits one tile (a Pallas
-        # block dim may equal the full array dim — no padding for K<128).
-        K_pad = K if K <= 128 else -(-K // 128) * 128
-        if K_pad != K:
-            B_full = jnp.pad(B_full, ((0, 0), (0, K_pad - K)))
-        vals = None if data is None else jnp.take(data[0], src[0], axis=0)
-        pieces = []
-        for col0, ncols, s0, s1 in tplan.tile_slices:
-            g = jnp.take(
-                B_full[col0 : col0 + ncols], lcols[0, s0:s1], axis=0
-            )
-            if vals is not None:
-                g = g * vals[s0:s1, None]
-            pieces.append(g)
-        contrib = (
-            pieces[0] if len(pieces) == 1 else jnp.concatenate(pieces, 0)
-        )
-        out = _reduce_part(
-            contrib, local_rows[0], row_start[0], tplan.m_pad,
-            tplan.rows_per_block, min(128, K_pad), mode, interpret,
-        )
-        return out[:rpp, :K].astype(B_shard.dtype)
-
-    in_specs = (
-        P(axis, None), P(axis, None), P(axis, None, None), P(axis, None),
-        *((P(axis, None),) if has_data else (P(),)),
-        P(axis, model_in_mesh),
-    )
-    out_spec = P(axis, model_in_mesh)
-
-    data_arg = padj.data if has_data else jnp.zeros((1,), B.dtype)
-
-    def body_wrap(src, lcols, lr, rs, data, Bs):
-        return body(src, lcols, lr, rs, data if has_data else None, Bs)
-
-    fn = shard_map(
-        body_wrap, mesh=mesh,
-        in_specs=in_specs, out_specs=out_spec, check_vma=False,
-    )
-    return fn(
-        tplan.src, tplan.lcols, tplan.local_rows, tplan.row_start,
-        data_arg, B,
-    )

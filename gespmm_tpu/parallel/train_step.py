@@ -3,9 +3,11 @@
 The multi-device training capability the single-GPU reference lacks
 (SURVEY §2.3): a full GCN training step jitted over a 2-D mesh —
 
-  * "data" axis: graph rows partitioned (PartitionedAdjacency); activations
-    and labels row-sharded; the SpMM halo exchange is the all-gather inside
-    `parallel.dist_spmm` (backward: autodiff-derived psum_scatter);
+  * "data" axis: graph rows partitioned; activations and labels
+    row-sharded; the SpMM exchanges ONLY the per-shard halo rows via a
+    precomputed padded all_to_all (`parallel.halo`), and the local SpMM
+    runs the differentiable stream-kernel tier (backward collectives are
+    autodiff-derived);
   * "model" axis: feature/hidden dims sharded; first-layer weights
     column-sharded, output-layer weights row-sharded (contraction inserts
     the psum), optimizer state follows the parameters.
@@ -24,11 +26,7 @@ import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from gespmm_tpu.models.common import dense_init
-from gespmm_tpu.parallel.dist_spmm import (
-    PartitionedAdjacency,
-    dist_spmm,
-    partition_adjacency,
-)
+from gespmm_tpu.parallel.halo import build_halo_partition, halo_spmm
 from gespmm_tpu.train.loop import masked_nll_loss
 
 Array = jax.Array
@@ -62,14 +60,20 @@ def build_sharded_gcn(
     lr: float = 1e-2,
     seed: int = 0,
 ):
-    """Returns (train_step, init_state, prepare_inputs, padj).
+    """Returns (train_step, init_state, prepare_inputs, halo_partition).
 
     `train_step(params, opt_state, x, labels, mask)` is jitted over the
-    mesh; `prepare_inputs` pads + shards node-indexed arrays.
+    mesh; `prepare_inputs` pads + shards node-indexed arrays.  The SpMM
+    is the halo-exchange formulation with the stream-kernel tier — the
+    flagship kernel runs inside the sharded train step.
     """
     data_axis = mesh.shape["data"]
-    padj = partition_adjacency(csr, data_axis)
-    m_pad = padj.num_parts * padj.rows_per_part
+    if csr.shape[0] != csr.shape[1]:
+        raise ValueError("build_sharded_gcn needs a square adjacency")
+    hp = build_halo_partition(csr, data_axis, tiled=True)
+    if hp.rpp != hp.cpp:
+        raise ValueError("square adjacency must slab rows and columns alike")
+    m_pad = hp.num_parts * hp.rpp
     n = csr.shape[0]
 
     key = jax.random.PRNGKey(seed)
@@ -103,10 +107,10 @@ def build_sharded_gcn(
 
     def forward(params, x):
         h = x @ params["l1"]["w"] + params["l1"]["b"]
-        h = dist_spmm(padj, h, mesh, reduce="mean")
+        h = halo_spmm(hp, h, mesh, reduce="mean")
         h = jax.nn.relu(h)
         logits = h @ params["l2"]["w"] + params["l2"]["b"]
-        return dist_spmm(padj, logits, mesh, reduce="mean", model_axis=None)
+        return halo_spmm(hp, logits, mesh, reduce="mean", model_axis=None)
 
     def loss_fn(params, x, labels, mask):
         lp = jax.nn.log_softmax(forward(params, x), axis=-1)
@@ -119,4 +123,4 @@ def build_sharded_gcn(
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
 
-    return train_step, (params, opt_state), prepare_inputs, padj
+    return train_step, (params, opt_state), prepare_inputs, hp

@@ -120,115 +120,172 @@ def test_sharded_gcn_train_step_loss_decreases():
     assert losses[-1] < losses[0] * 0.9, losses
 
 
-def test_dist_spmm_tiled_matches_dense():
-    import jax
-    import jax.numpy as jnp
-    import numpy as np
-    from jax.sharding import NamedSharding, PartitionSpec as P
-
-    from gespmm_tpu.parallel.dist_spmm import (
-        dist_spmm_tiled,
-        partition_adjacency,
-        partition_tiled,
+def test_halo_spmm_matches_dense_both_tiers():
+    from gespmm_tpu.parallel.halo import (
+        build_halo_partition, halo_spmm, pad_for_halo,
     )
-    from gespmm_tpu.parallel.mesh import make_mesh
-    from tests.conftest import random_csr
 
     csr, mat = random_csr(96, 96, density=0.08, seed=11)
     nd = 4
     mesh = make_mesh(data=nd, model=1, devices=jax.devices()[:nd])
-    padj = partition_adjacency(csr, nd)
-    tplan = partition_tiled(csr, nd, col_tile=32, rows_per_block=16,
-                            chunk_nnz=16)
+    hp = build_halo_partition(csr, nd, tiled=True, chunk_nnz=16,
+                              rows_per_block=16)
     B = np.random.default_rng(11).standard_normal((96, 16)).astype(np.float32)
-    Bd = jax.device_put(
-        jnp.asarray(B), NamedSharding(mesh, P("data", None))
-    )
-    out = jax.jit(
-        lambda p, t, b: dist_spmm_tiled(p, t, b, mesh, model_axis=None)
-    )(padj, tplan, Bd)
-    np.testing.assert_allclose(
-        np.asarray(out)[:96], mat @ B, rtol=1e-4, atol=1e-4
-    )
+    Bd = jax.device_put(pad_for_halo(hp, jnp.asarray(B)),
+                        NamedSharding(mesh, P("data", None)))
+    for method in ("xla", "tiled", "auto"):
+        out = jax.jit(lambda b, m=method: halo_spmm(
+            hp, b, mesh, method=m, model_axis=None))(Bd)
+        np.testing.assert_allclose(
+            np.asarray(out)[:96], mat @ B, rtol=1e-4, atol=1e-4,
+            err_msg=method,
+        )
 
 
-def test_dist_spmm_tiled_binary_uneven_rows():
-    import jax
-    import jax.numpy as jnp
-    import numpy as np
-    from jax.sharding import NamedSharding, PartitionSpec as P
-
-    from gespmm_tpu.parallel.dist_spmm import (
-        dist_spmm_tiled,
-        partition_adjacency,
-        partition_tiled,
+def test_halo_spmm_binary_uneven_rows():
+    from gespmm_tpu.parallel.halo import (
+        build_halo_partition, halo_spmm, pad_for_halo,
     )
-    from gespmm_tpu.parallel.mesh import make_mesh
-    from tests.conftest import random_csr
 
     # m=90 over 4 parts: rpp=23, last slab short + binary values.
     csr, mat = random_csr(90, 90, density=0.1, seed=12, binary=True)
     nd = 4
     mesh = make_mesh(data=nd, model=1, devices=jax.devices()[:nd])
-    padj = partition_adjacency(csr, nd)
-    tplan = partition_tiled(csr, nd, col_tile=32, rows_per_block=16,
-                            chunk_nnz=16)
-    rpp = tplan.rows_per_part
-    n_pad = rpp * nd
+    hp = build_halo_partition(csr, nd, tiled=True, chunk_nnz=16,
+                              rows_per_block=16)
     B = np.random.default_rng(12).standard_normal((90, 8)).astype(np.float32)
-    Bp = np.zeros((n_pad, 8), np.float32)
-    Bp[:90] = B
-    Bd = jax.device_put(
-        jnp.asarray(Bp), NamedSharding(mesh, P("data", None))
-    )
-    out = jax.jit(
-        lambda p, t, b: dist_spmm_tiled(p, t, b, mesh, model_axis=None)
-    )(padj, tplan, Bd)
-    np.testing.assert_allclose(
-        np.asarray(out)[:90], mat @ B, rtol=1e-4, atol=1e-4
-    )
+    Bd = jax.device_put(pad_for_halo(hp, jnp.asarray(B)),
+                        NamedSharding(mesh, P("data", None)))
+    out = jax.jit(lambda b: halo_spmm(hp, b, mesh, method="tiled",
+                                      model_axis=None))(Bd)
+    np.testing.assert_allclose(np.asarray(out)[:90], mat @ B, rtol=1e-4,
+                               atol=1e-4)
 
 
-def test_dist_spmm_tiled_with_model_axis():
-    import jax
-    import jax.numpy as jnp
-    import numpy as np
-    from jax.sharding import NamedSharding, PartitionSpec as P
-
-    from gespmm_tpu.parallel.dist_spmm import (
-        dist_spmm_tiled,
-        partition_adjacency,
-        partition_tiled,
+def test_halo_spmm_with_model_axis():
+    from gespmm_tpu.parallel.halo import (
+        build_halo_partition, halo_spmm, pad_for_halo,
     )
-    from gespmm_tpu.parallel.mesh import make_mesh
-    from tests.conftest import random_csr
 
     csr, mat = random_csr(64, 64, density=0.1, seed=13)
     mesh = make_mesh(data=2, model=2, devices=jax.devices()[:4])
-    padj = partition_adjacency(csr, 2)
-    tplan = partition_tiled(csr, 2, col_tile=32, rows_per_block=16,
-                            chunk_nnz=16)
+    hp = build_halo_partition(csr, 2, tiled=True, chunk_nnz=16,
+                              rows_per_block=16)
     B = np.random.default_rng(13).standard_normal((64, 16)).astype(np.float32)
-    Bd = jax.device_put(
-        jnp.asarray(B), NamedSharding(mesh, P("data", "model"))
+    Bd = jax.device_put(pad_for_halo(hp, jnp.asarray(B)),
+                        NamedSharding(mesh, P("data", "model")))
+    out = jax.jit(lambda b: halo_spmm(hp, b, mesh, method="tiled"))(Bd)
+    np.testing.assert_allclose(np.asarray(out)[:64], mat @ B, rtol=1e-4,
+                               atol=1e-4)
+
+
+def test_halo_spmm_grads_both_tiers_vs_dense():
+    from gespmm_tpu.parallel.halo import (
+        build_halo_partition, halo_spmm, pad_for_halo,
     )
-    out = jax.jit(
-        lambda p, t, b: dist_spmm_tiled(p, t, b, mesh)
-    )(padj, tplan, Bd)
-    np.testing.assert_allclose(
-        np.asarray(out)[:64], mat @ B, rtol=1e-4, atol=1e-4
+
+    csr, mat = random_csr(96, 96, density=0.08, seed=21)
+    nd = 4
+    mesh = make_mesh(data=nd, model=1, devices=jax.devices()[:nd])
+    hp = build_halo_partition(csr, nd, tiled=True, chunk_nnz=16,
+                              rows_per_block=16)
+    B = np.random.default_rng(21).standard_normal((96, 16)).astype(np.float32)
+    Bd = jax.device_put(pad_for_halo(hp, jnp.asarray(B)),
+                        NamedSharding(mesh, P("data", None)))
+    A = jnp.asarray(mat.toarray())
+    gd = jax.grad(lambda b: jnp.sum(jnp.sin(A @ b[:96])))(
+        pad_for_halo(hp, jnp.asarray(B))
+    )
+    for method in ("xla", "tiled"):
+        g = jax.jit(jax.grad(
+            lambda b, m=method: jnp.sum(jnp.sin(halo_spmm(
+                hp, b, mesh, method=m, model_axis=None)[:96]))
+        ))(Bd)
+        np.testing.assert_allclose(np.asarray(g), np.asarray(gd),
+                                   rtol=1e-4, atol=1e-4, err_msg=method)
+
+
+@pytest.mark.parametrize("reduce", ["mean", "max", "min"])
+def test_halo_spmm_monoids(reduce):
+    from gespmm_tpu.ops.spmm import Adjacency, spmm
+    from gespmm_tpu.parallel.halo import (
+        build_halo_partition, halo_spmm, pad_for_halo,
     )
 
+    csr, mat = random_csr(48, 48, density=0.15, seed=9)
+    nd = 4
+    mesh = make_mesh(data=nd, model=1, devices=jax.devices()[:nd])
+    hp = build_halo_partition(csr, nd, tiled=(reduce == "mean"),
+                              chunk_nnz=16, rows_per_block=16)
+    B = np.random.default_rng(9).standard_normal((48, 8)).astype(np.float32)
+    Bd = jax.device_put(pad_for_halo(hp, jnp.asarray(B)),
+                        NamedSharding(mesh, P("data", None)))
+    method = "auto" if reduce == "mean" else "xla"
+    out = jax.jit(lambda b: halo_spmm(hp, b, mesh, reduce=reduce,
+                                      method=method, model_axis=None))(Bd)
+    expect = np.asarray(spmm(Adjacency.from_csr(csr), jnp.asarray(B),
+                             reduce=reduce))
+    np.testing.assert_allclose(np.asarray(out)[:48], expect, **TOL)
 
-def test_partition_tiled_oversize_slab_raises():
-    import pytest
 
-    from gespmm_tpu.parallel.dist_spmm import partition_tiled
-    from tests.conftest import random_csr
+def test_halo_footprint_small_on_banded_graph():
+    # A banded (locality-friendly) graph needs only boundary rows: the
+    # per-shard dense footprint must be far below n (the whole point of
+    # halo exchange vs all-gather).
+    import scipy.sparse as sp
+    from gespmm_tpu.sparse.formats import csr_from_scipy
+    from gespmm_tpu.parallel.halo import (
+        build_halo_partition, halo_spmm, pad_for_halo,
+    )
+
+    n, bw = 256, 3
+    mat = sp.diags(
+        [np.ones(n - abs(o)) for o in range(-bw, bw + 1)],
+        offsets=list(range(-bw, bw + 1)), format="csr",
+    ).astype(np.float32)
+    mat.sort_indices()
+    csr = csr_from_scipy(mat)
+    nd = 8
+    hp = build_halo_partition(csr, nd, tiled=False)
+    # Each shard needs at most bw rows from each neighbor => H <= 8
+    # (8-aligned) and footprint ~ 1/P + P*H/n << 1.
+    assert hp.H <= 8
+    assert hp.footprint_fraction < 0.4, hp.footprint_fraction
+    mesh = make_mesh(data=nd, model=1, devices=jax.devices()[:nd])
+    B = np.random.default_rng(3).standard_normal((n, 8)).astype(np.float32)
+    Bd = jax.device_put(pad_for_halo(hp, jnp.asarray(B)),
+                        NamedSharding(mesh, P("data", None)))
+    out = jax.jit(lambda b: halo_spmm(hp, b, mesh, model_axis=None))(Bd)
+    np.testing.assert_allclose(np.asarray(out)[:n], mat @ B, rtol=1e-5,
+                               atol=1e-5)
+
+
+def test_halo_strictness_and_errors():
+    from gespmm_tpu.parallel.halo import (
+        build_halo_partition, halo_spmm, pad_for_halo,
+    )
+
+    csr, _ = random_csr(45, 45, density=0.1, seed=31)
+    mesh = make_mesh(data=2, model=1, devices=jax.devices()[:2])
+    hp = build_halo_partition(csr, 2, tiled=False)
+    assert hp.num_parts * hp.cpp == 46  # padding IS required here
+    B = jnp.zeros((hp.num_parts * hp.cpp, 8), jnp.float32)
+    with pytest.raises(ValueError, match="tiled"):
+        halo_spmm(hp, B, mesh, method="tiled", model_axis=None)
+    with pytest.raises(ValueError, match="pad"):
+        halo_spmm(hp, jnp.zeros((45, 8), jnp.float32), mesh,
+                  model_axis=None)
+    hp2 = build_halo_partition(csr, 2, tiled=True)
+    with pytest.raises(ValueError, match="sum/mean"):
+        halo_spmm(hp2, B, mesh, reduce="max", method="tiled",
+                  model_axis=None)
+
+
+def test_halo_oversize_slab_raises():
+    from gespmm_tpu.parallel.halo import build_halo_partition
 
     # 140000 rows in one part exceeds the stream kernel's VMEM
-    # accumulator budget (131072 rows); must raise a real error, not a
-    # strippable assert.
+    # accumulator budget (131072 rows); must raise a real error.
     csr, _ = random_csr(140000, 64, density=0.0005, seed=41)
-    with pytest.raises(ValueError, match="exceeds"):
-        partition_tiled(csr, 1, col_tile=64, rows_per_block=8, chunk_nnz=8)
+    with pytest.raises(ValueError, match="exceeds|limit"):
+        build_halo_partition(csr, 1, tiled=True)
