@@ -339,6 +339,48 @@ def spmm_tiled(
     return out.astype(B.dtype)
 
 
+def edge_segment_reduce(
+    plan: TiledSpmmPlan,
+    vals: Array,
+    op: str = "sum",
+    *,
+    interpret: Optional[bool] = None,
+) -> Array:
+    """Per-row reduction of per-edge values through the stream kernel.
+
+    vals: (nnz, K) edge values in CSR order (K is typically small — e.g.
+    attention heads).  Returns (m, K).  This is the fast path for edge
+    softmax / attention normalizers: the slot permutation replaces the
+    descriptor-bound 1-D `jax.ops.segment_*` formulation, and the
+    reduction rides the VMEM-resident kernel.  Forward-only (callers
+    wrap in custom VJPs — the transpose of a segment-sum is just a
+    row-gather).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if vals.ndim != 2:
+        raise ValueError(f"vals must be (nnz, K), got {vals.shape}")
+    K = vals.shape[1]
+    m = plan.shape[0]
+    vals32 = vals.astype(jnp.float32)
+    outs = []
+    for part in plan.parts:
+        K_pad, kt = _fit_kt(plan, K)
+        contrib = jnp.take(vals32, part.src, axis=0)
+        if K_pad != K:
+            contrib = jnp.pad(contrib, ((0, 0), (0, K_pad - K)))
+        out_p = _reduce_part(
+            contrib, part.local_rows, part.row_start, part.m_pad,
+            part.rows_per_block, kt, "trilo", interpret, op=op,
+        )
+        outs.append(out_p[: part.m_part])
+    out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, 0)
+    out = out[:m, :K]
+    if op in ("max", "min"):
+        out = jnp.where(jnp.isfinite(out), out, 0.0)
+    return out.astype(vals.dtype)
+
+
 def _fit_kt(plan: TiledSpmmPlan, K: int, k_tile: int = 512):
     """(K_pad, kt): feature padding + per-pass tile width such that the
     largest part's resident accumulator stays within the VMEM budget."""

@@ -89,26 +89,90 @@ def sage_aggregate(
     raise ValueError(f"unknown aggregator {aggregator!r}")
 
 
+def _edge_softmax_xla(rows, logits2d, m):
+    mx = jax.ops.segment_max(logits2d, rows, num_segments=m)
+    mx = jnp.where(jnp.isfinite(mx), mx, 0.0)
+    ex = jnp.exp(logits2d - jnp.take(mx, rows, axis=0))
+    denom = jax.ops.segment_sum(ex, rows, num_segments=m)
+    return ex / jnp.maximum(jnp.take(denom, rows, axis=0), 1e-38)
+
+
+@jax.custom_vjp
+def _edge_softmax_core(adj: Adjacency, logits2d: Array) -> Array:
+    """Row-wise softmax of (nnz, K) edge values, stream-kernel backed.
+
+    When the adjacency carries a tiled stream plan, the row-max and the
+    normalizer run as ONE stream-reduce pass each (slot-permuted 2-D
+    layout through the VMEM-resident kernel) instead of 1-D nnz-length
+    `segment_*` ops — the GAT wall identified in round 1 (~1ms per 1-D
+    segment op on pubmed).
+    """
+    from gespmm_tpu.sparse.partition import TiledSpmmPlan
+    from gespmm_tpu.sparse.formats import expand_indptr
+
+    rows = (
+        adj.rows if adj.rows is not None
+        else expand_indptr(adj.csr.indptr, adj.csr.nnz)
+    )
+    m = adj.shape[0]
+    if isinstance(adj.plan, TiledSpmmPlan):
+        from gespmm_tpu.kernels.spmm_stream import edge_segment_reduce
+
+        mx = edge_segment_reduce(adj.plan, logits2d, "max")
+        ex = jnp.exp(logits2d - jnp.take(mx, rows, axis=0))
+        denom = edge_segment_reduce(adj.plan, ex, "sum")
+        return ex / jnp.maximum(jnp.take(denom, rows, axis=0), 1e-38)
+    return _edge_softmax_xla(rows, logits2d, m)
+
+
+def _edge_softmax_fwd(adj, logits2d):
+    alpha = _edge_softmax_core(adj, logits2d)
+    return alpha, (adj, alpha)
+
+
+def _edge_softmax_bwd(res, g):
+    # Softmax Jacobian: dl = alpha ⊙ (g - rowsum(alpha ⊙ g)[row]) — the
+    # rank-1 correction needs exactly one more per-row reduction, which
+    # again rides the stream kernel when a plan is present.
+    from gespmm_tpu.sparse.partition import TiledSpmmPlan
+
+    from gespmm_tpu.sparse.formats import expand_indptr
+
+    adj, alpha = res
+    rows = (
+        adj.rows if adj.rows is not None
+        else expand_indptr(adj.csr.indptr, adj.csr.nnz)
+    )
+    t = alpha * g
+    if isinstance(adj.plan, TiledSpmmPlan):
+        from gespmm_tpu.kernels.spmm_stream import edge_segment_reduce
+
+        s = edge_segment_reduce(adj.plan, t, "sum")
+    else:
+        s = jax.ops.segment_sum(t, rows, num_segments=adj.shape[0])
+    dl = t - alpha * jnp.take(s, rows, axis=0)
+    return (None, dl)
+
+
+_edge_softmax_core.defvjp(_edge_softmax_fwd, _edge_softmax_bwd)
+
+
 def edge_softmax(adj: Adjacency, logits: Array) -> Array:
     """Per-destination-row softmax over edge logits (attention precursor).
 
     Not in the reference's op set, but the canonical consumer of SDDMM
     (BASELINE.json benchmarks SDDMM as an "edge-softmax/attention
     precursor"); provided so attention-style models compose from our
-    primitives.  logits: (nnz,) in CSR order; softmax within each row.
+    primitives.  logits: (nnz,) or (nnz, heads) in CSR order; softmax
+    within each destination row, per head.  Differentiable (custom VJP:
+    one stream-reduce per direction instead of chained segment ops).
     """
-    if isinstance(adj, Adjacency):
-        csr = adj.csr
-        rows = adj.rows if adj.rows is not None else csr.row_ids()
-    else:
-        csr = adj
-        rows = csr.row_ids()
-    m = csr.shape[0]
-    mx = jax.ops.segment_max(logits, rows, num_segments=m)
-    mx = jnp.where(jnp.isfinite(mx), mx, 0.0)
-    ex = jnp.exp(logits - mx[rows])
-    denom = jax.ops.segment_sum(ex, rows, num_segments=m)
-    return ex / jnp.maximum(denom, 1e-38)[rows]
+    if not isinstance(adj, Adjacency):
+        adj = Adjacency.from_csr(adj)
+    squeeze = logits.ndim == 1
+    logits2d = logits[:, None] if squeeze else logits
+    out = _edge_softmax_core(adj, logits2d)
+    return out[:, 0] if squeeze else out
 
 
 def gat_attention(

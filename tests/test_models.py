@@ -161,3 +161,50 @@ def test_checkpoint_rejects_structure_mismatch(tmp_path):
     got, epoch = restore(path, state)
     assert epoch == 1
     np.testing.assert_array_equal(got["w"], state["w"])
+
+
+def test_accuracy_parity_ours_vs_bcoo_same_seed(tmp_path):
+    """Cross-implementation accuracy A/B (the reference's only user-facing
+    test is training-accuracy parity, `gcn_pyg.py` vs `gcn_custom.py`):
+    the SAME GCN trained with the same seed on our kernels and on stock
+    BCOO must land at the same final accuracies."""
+    import json
+
+    import numpy as np
+
+    from gespmm_tpu.models.baselines import GCNBcoo
+    from gespmm_tpu.models.gcn import GCN
+    from gespmm_tpu.ops.graph import add_self_loops
+    from gespmm_tpu.ops.spmm import Adjacency
+    from gespmm_tpu.train.loop import train_node_classifier
+    from gespmm_tpu.utils.datasets import sbm_graph
+
+    ds = sbm_graph(n_per_class=120, num_classes=4, feat_dim=16, seed=3)
+    csr = add_self_loops(ds.csr)
+    adj = Adjacency.from_csr(csr, plan=True)
+    dims = [16, 16, ds.num_classes]
+    kw = dict(seed=7, lr=1e-2, epochs=30)
+
+    ours = train_node_classifier(
+        GCN(dims=dims, dropout_rate=0.0), adj,
+        ds.features, ds.labels, ds.masks, **kw,
+    )
+    stock = train_node_classifier(
+        GCNBcoo(dims=dims, dropout_rate=0.0),
+        GCNBcoo.from_adjacency(adj),
+        ds.features, ds.labels, ds.masks, **kw,
+    )
+    assert abs(ours["test_acc"] - stock["test_acc"]) <= 1e-4, (
+        ours["test_acc"], stock["test_acc"],
+    )
+    assert abs(ours["val_acc"] - stock["val_acc"]) <= 1e-4
+    # both must actually have learned something
+    assert ours["test_acc"] > 0.5
+    # record the A/B line the way the bench harness would
+    line = {
+        "metric": "gcn_accuracy_parity_sbm",
+        "ours_test_acc": round(float(ours["test_acc"]), 4),
+        "bcoo_test_acc": round(float(stock["test_acc"]), 4),
+    }
+    with open(tmp_path / "parity.json", "w") as f:
+        json.dump(line, f)

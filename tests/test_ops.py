@@ -191,3 +191,56 @@ def test_sddmm_tiled_tier_and_strictness():
         sddmm(plain, D1, D2, method="tiled")
     with pytest.raises(ValueError, match="tiled"):
         sddmm(csr, D1, D2, method="tiled")
+
+
+def test_edge_softmax_stream_path_matches_xla_and_grads():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gespmm_tpu.ops.graph import edge_softmax
+    from gespmm_tpu.ops.spmm import Adjacency
+    from tests.conftest import random_csr
+
+    csr, mat = random_csr(60, 60, density=0.1, seed=51)
+    adj_plan = Adjacency.from_csr(csr, plan=True, col_tile=16,
+                                  rows_per_block=8, chunk_nnz=8, part_rows=32)
+    adj_plain = Adjacency.from_csr(csr)
+    rng = np.random.default_rng(51)
+    for shape in ((csr.nnz,), (csr.nnz, 4)):
+        logits = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+        a1 = edge_softmax(adj_plan, logits)
+        a2 = edge_softmax(adj_plain, logits)
+        np.testing.assert_allclose(np.asarray(a1), np.asarray(a2),
+                                   rtol=1e-5, atol=1e-6)
+        # rows sum to 1 (per head)
+        rows = np.asarray(adj_plan.rows)
+        sums = np.zeros((60,) + shape[1:])
+        np.add.at(sums, rows, np.asarray(a1))
+        deg = np.bincount(rows, minlength=60)
+        np.testing.assert_allclose(sums[deg > 0],
+                                   np.ones_like(sums[deg > 0]), rtol=1e-5)
+        # grads match between paths and vs a dense softmax oracle
+        g1 = jax.grad(lambda l: jnp.sum(jnp.sin(edge_softmax(adj_plan, l))))(logits)
+        g2 = jax.grad(lambda l: jnp.sum(jnp.sin(edge_softmax(adj_plain, l))))(logits)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                                   rtol=1e-4, atol=1e-6)
+
+    # dense oracle for the scalar case
+    logits = jnp.asarray(rng.standard_normal((csr.nnz,)).astype(np.float32))
+    rows = np.asarray(adj_plan.rows)
+
+    def dense_loss(l):
+        # segment softmax via dense (m, nnz) one-hot
+        oh = jnp.asarray((rows[None, :] == np.arange(60)[:, None]
+                          ).astype(np.float32))
+        mx = jnp.max(jnp.where(oh > 0, l[None, :], -jnp.inf), axis=1)
+        mx = jnp.where(jnp.isfinite(mx), mx, 0.0)
+        ex = jnp.exp(l - mx[rows])
+        den = oh @ ex
+        return jnp.sum(jnp.sin(ex / jnp.maximum(den, 1e-38)[rows]))
+
+    g1 = jax.grad(lambda l: jnp.sum(jnp.sin(edge_softmax(adj_plan, l))))(logits)
+    gd = jax.grad(dense_loss)(logits)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(gd), rtol=1e-4,
+                               atol=1e-6)
