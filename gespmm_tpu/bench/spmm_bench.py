@@ -200,6 +200,101 @@ def bench_graph(
     return row, results
 
 
+def bench_sddmm_graph(
+    name: str,
+    ks: List[int],
+    iters: int = 200,
+    methods=("xla", "tiled", "pallas"),
+    csv_file: Optional[str] = None,
+    seed: int = 0,
+    validate: bool = False,
+    tol: float = 2e-3,
+):
+    """SDDMM tier sweep: out[e] = D1[row_e]·D2[col_e] over the graph's
+    pattern, timed per (K, tier) with float64 golden validation.
+
+    The reference exposes SDDMM as a first-class op
+    (`pytorch-custom/sddmm.cpp:63-68`, kernels `sddmm.cu:427-484`) but
+    never benchmarks it; BASELINE.json names SDDMM at K=64 as a headline
+    config, so this sweep records the measured tier table the dispatch
+    heuristic in ops/sddmm.py is derived from.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from gespmm_tpu.ops.sddmm import sddmm
+    from gespmm_tpu.ops.spmm import Adjacency
+    from gespmm_tpu.utils import timing
+    from gespmm_tpu.utils.datasets import find_graph, load_mtx_graph, rmat_graph
+
+    if find_graph(name):
+        csr = load_mtx_graph(name, binary=True)
+    elif name.startswith("rmat"):
+        csr = rmat_graph(scale=int(name.removeprefix("rmat")), edge_factor=16,
+                         seed=seed)
+    else:
+        raise FileNotFoundError(name)
+    m, n = csr.shape
+    adj = Adjacency.from_csr(csr, plan=True)
+    rng = np.random.default_rng(seed)
+    rows_h = np.repeat(np.arange(m), np.diff(np.asarray(csr.indptr)))
+    cols_h = np.asarray(csr.indices)
+    results = {}
+    for K in ks:
+        D1 = jnp.asarray(rng.standard_normal((m, K)).astype(np.float32))
+        D2 = jnp.asarray(rng.standard_normal((n, K)).astype(np.float32))
+        golden = None
+        if validate:
+            golden = np.einsum(
+                "ek,ek->e",
+                np.asarray(D1).astype(np.float64)[rows_h],
+                np.asarray(D2).astype(np.float64)[cols_h],
+            )
+        for method in methods:
+          for attempt in range(2):
+            try:
+                fn = jax.jit(
+                    lambda a, b, _m=method: sddmm(adj, a, b, method=_m)
+                )
+                if golden is not None:
+                    got = np.asarray(fn(D1, D2)).astype(np.float64)
+                    err = float(
+                        (np.abs(got - golden) / (1.0 + np.abs(golden))).max()
+                    )
+                    if err > tol:
+                        results[(K, method)] = {
+                            "error": f"VALIDATION FAILED: err={err:.2e}"
+                        }
+                        break
+                r = timing.benchmark(
+                    lambda: fn(D1, D2), iters=max(10, iters // 4)
+                )
+                t = r.median_s
+                results[(K, method)] = {
+                    "ms": t * 1e3,
+                    "gflops": timing.spmm_flops(csr.nnz, K) / t / 1e9,
+                }
+                break
+            except Exception as e:  # pragma: no cover
+                if attempt == 0:
+                    continue
+                results[(K, method)] = {"error": str(e)[:200]}
+
+    row = {"data": name, "m": m, "n": n, "nnz": csr.nnz}
+    for (K, method), v in results.items():
+        row[f"K={K}-sddmm-{method}-gflops"] = round(
+            v.get("gflops", float("nan")), 2
+        )
+    if csv_file:
+        header = ",".join(row.keys())
+        write_header = not os.path.exists(csv_file)
+        with open(csv_file, "a") as f:
+            if write_header:
+                f.write(header + "\n")
+            f.write(",".join(str(v) for v in row.values()) + "\n")
+    return row, results
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--graphs", nargs="+", default=["pubmed"])
@@ -215,14 +310,54 @@ def main(argv=None):
                    help="golden-check each config vs scipy before timing")
     p.add_argument("--tol", type=float, default=2e-3,
                help="max |out-golden64|/(1+|golden64|); f32 accumulation noise on high-degree hub rows reaches ~5e-4 for any implementation (reference validates at 1e-2)")
+    p.add_argument("--sddmm", action="store_true",
+                   help="benchmark SDDMM tiers (xla/tiled/pallas) instead "
+                        "of SpMM")
+    p.add_argument("--roofline", action="store_true",
+                   help="append K=<k>-roofline-frac columns (fraction of "
+                        "the gather-SpMM speed of light, best tier)")
     args = p.parse_args(argv)
 
     for g in args.graphs:
-        row, results = bench_graph(
-            g, args.k, iters=args.iters, methods=tuple(args.methods),
-            rows_per_block=args.rows_per_block, chunk_nnz=args.chunk_nnz,
-            csv_file=args.csv, validate=args.validate, tol=args.tol,
-        )
+        if args.sddmm:
+            row, results = bench_sddmm_graph(
+                g, args.k, iters=args.iters,
+                methods=tuple(
+                    m for m in args.methods if m in ("xla", "tiled", "pallas")
+                ) or ("xla", "tiled", "pallas"),
+                csv_file=args.csv, validate=args.validate, tol=args.tol,
+            )
+        else:
+            row, results = bench_graph(
+                g, args.k, iters=args.iters, methods=tuple(args.methods),
+                rows_per_block=args.rows_per_block, chunk_nnz=args.chunk_nnz,
+                csv_file=None if args.roofline else args.csv,
+                validate=args.validate, tol=args.tol,
+            )
+            if args.roofline:
+                from gespmm_tpu.utils.profiling import spmm_roofline
+
+                for K in args.k:
+                    best = min(
+                        (v["ms"] for (kk, _), v in results.items()
+                         if kk == K and "ms" in v),
+                        default=None,
+                    )
+                    if best is None:
+                        continue
+                    rf = spmm_roofline(
+                        row["nnz"], row["m"], K, best * 1e-3
+                    )["fraction_of_roofline"]
+                    row[f"K={K}-roofline-frac"] = round(rf, 3)
+                if args.csv:
+                    header = ",".join(row.keys())
+                    write_header = not os.path.exists(args.csv)
+                    with open(args.csv, "a") as f:
+                        if write_header:
+                            f.write(header + "\n")
+                        f.write(
+                            ",".join(str(v) for v in row.values()) + "\n"
+                        )
         print(json.dumps(row))
         errs = {
             f"K={k}-{m}": v["error"]

@@ -1,0 +1,141 @@
+"""Compiled-mode kernel gate: runs the Pallas kernels COMPILED on a real
+TPU against scipy goldens — the guard VERDICT r1 asked for: every other
+test runs interpret mode on CPU, so a mosaic-vs-interpret divergence
+would otherwise only surface in benchmarks.
+
+The suite's conftest pins the process to the CPU backend, so this test
+drives a SUBPROCESS that inherits the environment's TPU registration
+(sitecustomize).  Skipped (not failed) when no healthy TPU is reachable
+— including when the tunneled chip is wedged (probe timeout).
+"""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_PROBE = """
+import jax
+print(jax.default_backend())
+import jax.numpy as jnp
+jnp.zeros((8, 8)).sum().item()
+print("ALIVE")
+"""
+
+_GATE = r"""
+import sys
+sys.path.insert(0, %(repo)r)
+import numpy as np
+import scipy.sparse as sp
+import jax
+import jax.numpy as jnp
+
+from gespmm_tpu.ops.graph import edge_softmax
+from gespmm_tpu.ops.sddmm import sddmm
+from gespmm_tpu.ops.spmm import Adjacency, spmm
+from gespmm_tpu.utils.datasets import find_graph, load_mtx_graph, rmat_graph
+
+assert jax.default_backend() == "tpu", jax.default_backend()
+
+graphs = {}
+if find_graph("pubmed"):
+    graphs["pubmed"] = load_mtx_graph("pubmed", binary=True)
+graphs["rmat14"] = rmat_graph(scale=14, edge_factor=8, seed=0)
+
+for name, csr in graphs.items():
+    m, n = csr.shape
+    A64 = sp.csr_matrix(
+        (np.ones(csr.nnz, np.float64) if csr.data is None
+         else np.asarray(csr.data).astype(np.float64),
+         np.asarray(csr.indices), np.asarray(csr.indptr)), shape=csr.shape,
+    )
+    rng = np.random.default_rng(0)
+    for K in (32, 128):
+        B = jnp.asarray(rng.standard_normal((n, K)).astype(np.float32))
+        Bn = np.asarray(B).astype(np.float64)
+        golden = A64 @ Bn
+        plans = {
+            "tiled": Adjacency.from_csr(csr, plan="tiled"),
+            "perrow": Adjacency.from_csr(csr, plan="perrow"),
+            "grouped": Adjacency.from_csr(csr, plan="grouped"),
+        }
+        tiers = [("tiled", "tiled"), ("tiled", "xla"), ("tiled", "scatter"),
+                 ("perrow", "pallas"), ("grouped", "pallas"),
+                 ("tiled", "auto")]
+        for plan_kind, method in tiers:
+            out = np.asarray(
+                jax.jit(lambda b, a=plans[plan_kind], _m=method: spmm(
+                    a, b, method=_m))(B)
+            ).astype(np.float64)
+            rel = (np.abs(out - golden) / (1.0 + np.abs(golden))).max()
+            assert rel < 2e-3, (name, K, plan_kind, method, rel)
+            print(f"OK spmm {name} K={K} {plan_kind}/{method} rel={rel:.1e}",
+                  flush=True)
+        # max-reduce: exact selection
+        adj = plans["tiled"]
+        dmax = np.zeros((m, K))
+        indptr = np.asarray(csr.indptr); idx = np.asarray(csr.indices)
+        contrib = Bn[idx] if csr.data is None else (
+            np.asarray(csr.data).astype(np.float64)[:, None] * Bn[idx])
+        hi = np.full((m, K), -np.inf)
+        np.maximum.at(hi, np.repeat(np.arange(m), np.diff(indptr)), contrib)
+        dmax = np.where(np.isfinite(hi), hi, 0.0)
+        outm = np.asarray(jax.jit(
+            lambda b: spmm(adj, b, reduce="max", method="tiled"))(B))
+        err = np.abs(outm - dmax).max()
+        assert err < 1e-5, (name, K, "max", err)
+        print(f"OK max {name} K={K} err={err:.1e}", flush=True)
+
+    # sddmm tiers + edge softmax (K=1 kernel lane config)
+    adj = Adjacency.from_csr(csr, plan=True)
+    D1 = jnp.asarray(rng.standard_normal((m, 64)).astype(np.float32))
+    D2 = jnp.asarray(rng.standard_normal((n, 64)).astype(np.float32))
+    rows_h = np.repeat(np.arange(m), np.diff(np.asarray(csr.indptr)))
+    sg = np.einsum("ek,ek->e",
+                   np.asarray(D1).astype(np.float64)[rows_h],
+                   np.asarray(D2).astype(np.float64)[np.asarray(csr.indices)])
+    for method in ("xla", "tiled"):
+        out = np.asarray(jax.jit(
+            lambda a, b, _m=method: sddmm(adj, a, b, method=_m))(D1, D2)
+        ).astype(np.float64)
+        rel = (np.abs(out - sg) / (1.0 + np.abs(sg))).max()
+        assert rel < 2e-3, (name, "sddmm", method, rel)
+        print(f"OK sddmm {name} {method} rel={rel:.1e}", flush=True)
+    logits = jnp.asarray(rng.standard_normal((csr.nnz,)).astype(np.float32))
+    a1 = np.asarray(edge_softmax(adj, logits))
+    a2 = np.asarray(edge_softmax(Adjacency.from_csr(csr), logits))
+    err = np.abs(a1 - a2).max()
+    assert err < 1e-5, (name, "edge_softmax", err)
+    print(f"OK edge_softmax {name} err={err:.1e}", flush=True)
+print("GATE PASSED", flush=True)
+"""
+
+
+def _tpu_alive() -> bool:
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", _PROBE], capture_output=True, text=True,
+            timeout=120, env=env,
+        )
+    except subprocess.TimeoutExpired:
+        return False
+    return r.returncode == 0 and "tpu" in r.stdout and "ALIVE" in r.stdout
+
+
+def test_compiled_kernels_match_scipy_on_tpu():
+    if not _tpu_alive():
+        pytest.skip("no healthy TPU backend reachable")
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    r = subprocess.run(
+        [sys.executable, "-c", _GATE % {"repo": REPO}],
+        capture_output=True, text=True, timeout=1700, env=env,
+    )
+    sys.stdout.write(r.stdout[-4000:])
+    sys.stderr.write(r.stderr[-2000:])
+    assert r.returncode == 0 and "GATE PASSED" in r.stdout
