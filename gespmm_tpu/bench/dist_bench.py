@@ -106,6 +106,16 @@ def bench_weak_scaling(devices_list, scale, k, edge_factor, iters=20,
 
 
 def main(argv=None):
+    # Under a TPU-registering sitecustomize, env vars alone cannot force
+    # the CPU backend; pin it via jax.config BEFORE any backend query
+    # (the same trick as tests/conftest.py).
+    import os
+
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--devices", nargs="+", type=int, default=[1, 2, 4, 8])
     p.add_argument("--scale", type=int, default=13,
