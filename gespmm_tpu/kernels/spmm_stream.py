@@ -201,7 +201,9 @@ def _reduce_part(
     C, E = local_rows.shape
     K_pad = contrib.shape[1]
     n_k = K_pad // k_tile
-    G = 4 if C % 4 == 0 else 1  # plans pad C to CHUNK_GROUP
+    # Plans pad C to CHUNK_GROUP (16); older explicit plans may
+    # only be 4-aligned.
+    G = 16 if C % 16 == 0 else (4 if C % 4 == 0 else 1)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,  # row_start
@@ -299,16 +301,21 @@ def spmm_tiled(
     # buffers and the scoped limit take the rest of the 128MB on v5e).
     m_pad_max = max(p.m_pad for p in plan.parts)
     budget_rows = (64 * 1024 * 1024) // max(m_pad_max * 4, 1)
-    # kt_max must be a multiple of 128 whenever a multi-pass split is
-    # needed (K > kt_max): the fitting loop below steps by 128, so a
-    # non-multiple (e.g. caller k_tile=200) would never divide K_pad.
     kt_max = min(k_tile, max(128, (budget_rows // 128) * 128))
     kt_max = max(128, (kt_max // 128) * 128)
     if K <= kt_max:
         # Single pass at the exact width — Pallas allows a block dim equal
-        # to the full array dim, so narrow K (e.g. 32) needs NO padding.
+        # to the full array dim, so narrow K (e.g. 32) needs NO padding;
+        # with one K step the resident accumulator is single-buffered.
         K_pad = K
     else:
+        # Multi-pass: the output window's index map varies with the K
+        # step, so Pallas DOUBLE-BUFFERS the resident accumulator — the
+        # per-buffer budget halves.  kt_max must be a multiple of 128:
+        # the fitting loop below steps by 128 (a non-multiple k_tile
+        # would never divide K_pad and loop forever).
+        kt_max = min(k_tile, max(128, (budget_rows // 2 // 128) * 128))
+        kt_max = max(128, (kt_max // 128) * 128)
         K_pad = _round_up(K, 128)
         if K_pad != K:
             Bc = jnp.pad(Bc, ((0, 0), (0, K_pad - K)))
@@ -383,13 +390,16 @@ def edge_segment_reduce(
 
 def _fit_kt(plan: TiledSpmmPlan, K: int, k_tile: int = 512):
     """(K_pad, kt): feature padding + per-pass tile width such that the
-    largest part's resident accumulator stays within the VMEM budget."""
+    largest part's resident accumulator stays within the VMEM budget
+    (halved when K needs multiple passes — the window double-buffers)."""
     m_pad_max = max(p.m_pad for p in plan.parts)
     budget_rows = (64 * 1024 * 1024) // max(m_pad_max * 4, 1)
     kt_max = min(k_tile, max(128, (budget_rows // 128) * 128))
     kt_max = max(128, (kt_max // 128) * 128)
     if K <= kt_max:
         return K, K
+    kt_max = min(k_tile, max(128, (budget_rows // 2 // 128) * 128))
+    kt_max = max(128, (kt_max // 128) * 128)
     K_pad = _round_up(K, 128)
     kt = min(kt_max, K_pad)
     while K_pad % kt:

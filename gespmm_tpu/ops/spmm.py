@@ -66,11 +66,15 @@ class Adjacency:
     # inside jitted steps.
     rows: Optional[Array] = None
     rows_t: Optional[Array] = None
+    # Inverse of ``perm`` (host-precomputed): ``transpose()`` needs it,
+    # and computing it on device is an nnz-sized scatter per call — it
+    # sat in the hot path of every SDDMM backward (GAT layers).
+    inv_perm: Optional[Array] = None
 
     def tree_flatten(self):
         return (
             self.csr, self.csc, self.perm, self.plan, self.plan_t,
-            self.rows, self.rows_t,
+            self.rows, self.rows_t, self.inv_perm,
         ), ()
 
     @classmethod
@@ -140,9 +144,11 @@ class Adjacency:
         rows_t = jnp.asarray(
             np.repeat(np.arange(n, dtype=np.int32), np.diff(colptr_h))
         )
+        inv_perm_h = np.empty_like(perm_h)
+        inv_perm_h[perm_h] = np.arange(nnz, dtype=perm_h.dtype)
         return cls(
             csr=csr, csc=csc, perm=jnp.asarray(perm_h), plan=p, plan_t=pt,
-            rows=rows, rows_t=rows_t,
+            rows=rows, rows_t=rows_t, inv_perm=jnp.asarray(inv_perm_h),
         )
 
     @property
@@ -167,6 +173,7 @@ class Adjacency:
             plan_t=self.plan_t,
             rows=self.rows,
             rows_t=self.rows_t,
+            inv_perm=self.inv_perm,
         )
 
     def transpose(self) -> "Adjacency":
@@ -185,13 +192,17 @@ class Adjacency:
             shape=(n, m),
         )
         # perm for Aᵀ: maps (csc of Aᵀ = csr of A) order -> (csr of Aᵀ = csc
-        # of A) order; that's the inverse permutation.
-        inv = jnp.zeros_like(self.perm).at[self.perm].set(
-            jnp.arange(self.perm.shape[0], dtype=self.perm.dtype)
-        )
+        # of A) order; that's the inverse permutation (host-precomputed by
+        # from_csr; the device scatter only runs for hand-built Adjacency).
+        inv = self.inv_perm
+        if inv is None:
+            inv = jnp.zeros_like(self.perm).at[self.perm].set(
+                jnp.arange(self.perm.shape[0], dtype=self.perm.dtype)
+            )
         return Adjacency(
             csr=t_csr, csc=t_csc, perm=inv, plan=self.plan_t,
             plan_t=self.plan, rows=self.rows_t, rows_t=self.rows,
+            inv_perm=self.perm,
         )
 
 

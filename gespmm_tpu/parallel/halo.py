@@ -167,8 +167,9 @@ def _uniform_tiled_plans(
                     cmax = max(cmax, (s1 - s0) // E)
         per_tile[t] = cmax
     C = sum(per_tile.values())
-    if C % CHUNK_GROUP:
-        per_tile[tile_ids[-1]] += (-C) % CHUNK_GROUP
+    group = CHUNK_GROUP if C > 8 else 4
+    if C % group:
+        per_tile[tile_ids[-1]] += (-C) % group
         C = sum(per_tile.values())
     S = C * E
     R = plans[0].rows_per_block
@@ -249,6 +250,8 @@ def _tiled_apply(cfg: LocalTiledCfg, lcols, local_rows, row_start, vals, B):
     if K <= kt_max:
         K_pad = kt = K
     else:
+        # multi-pass: the resident window double-buffers (halved budget)
+        kt_max = max(128, (min(512, budget_rows // 2) // 128) * 128)
         K_pad = _round_up(K, 128)
         kt = kt_max
         while K_pad % kt:

@@ -414,17 +414,23 @@ class TiledSpmmPlan:
 
 
 # Chunks per Pallas grid step in the stream-reduce kernel: the pipeline's
-# fixed per-step cost (~1us measured on v5e) dominates small graphs, so
-# plans pad their chunk count to a multiple of this and the kernel
-# processes a group per step.
-CHUNK_GROUP = 4
+# fixed per-step cost (~0.6-1us measured on v5e) dominates small chunk
+# sizes, so plans pad their chunk count to a multiple of this and the
+# kernel folds a group per step (raised 4 -> 16 in round 2: at E=128 the
+# per-step cost was ~1.25ns/slot at group 4, ~0.3 at 16).
+CHUNK_GROUP = 16
 
 
-def _group_pad_part(part: TiledPartPlan, group: int = CHUNK_GROUP) -> TiledPartPlan:
+def _group_pad_part(part: TiledPartPlan, group: int = 0) -> TiledPartPlan:
     """Pad a part's chunk count to a multiple of `group` with sentinel
     chunks (pure padding: rows sentinel, slots gather row 0 of the last
-    tile so the contribution stream stays finite)."""
+    tile so the contribution stream stays finite).  group=0: CHUNK_GROUP,
+    dropping to 4 for tiny plans (the kernel folds min(C, group) chunks
+    per grid step — padding a 2-chunk plan to 16 would multiply its work
+    8x, which interpret-mode tests pay in full)."""
     C = part.num_chunks
+    if group == 0:
+        group = CHUNK_GROUP if C > 8 else 4
     padc = (-C) % group
     if padc == 0:
         return part
@@ -492,8 +498,11 @@ def build_tiled_plan(
     E = int(chunk_nnz)
     # The reduce kernel's resident accumulator is m_pad x k_tile x 4B and
     # k_tile cannot go below min(K, 128); clamp the part size so a 128-wide
-    # pass fits the ~64MB accumulator budget.
-    part_rows = min(part_rows, ((64 << 20) // (4 * 128) // 8) * 8)
+    # pass fits the accumulator budget.  When K needs multiple passes the
+    # window double-buffers, so the budget halves.
+    acc_budget = (64 << 20) if k_hint <= 128 else (48 << 20) // 2
+    part_rows = min(part_rows, (acc_budget // (4 * 128) // 8) * 8)
+    auto_layout = col_tile is None
     if col_tile is None:
         # A SINGLE tile (whole B as the gather table) wins whenever it
         # fits the fast-gather tier (~36MB measured on v5e): no piece
@@ -502,17 +511,35 @@ def build_tiled_plan(
         if n * 4 * max(k_hint, 1) <= (36 << 20):
             col_tile = max(n, 1)
         else:
-            # Multi-tile: aim for ~0.8 edges per row per (part, tile)
-            # window so the derived R lands near the sweet spot (R ~ 2E)
-            # with modest chunk padding; 8-16MB tables measured best.
-            target = 0.8 * m * n / max(nnz, 1)
+            # Multi-tile: the per-row gather cost rises steeply with the
+            # table size (measured r2 on v5e: ~2ns/row at <=8MB, 3.2 at
+            # 16MB, 5.6 at 32MB, ~6.4 at 64MB), so target an ~8MB table
+            # at the hinted feature width — EXCEPT when the graph is so
+            # sparse that 8MB windows are chunk-starved (density < 1.2
+            # edges/row/tile), where a 16MB table's halved padding wins
+            # (rmat20: 31.7 -> 44.1 GF/s measured).
+            budget_rows = (8 << 20) // (4 * max(k_hint, 1))
             col_tile = 8192
-            while col_tile < 32768 and col_tile < target:
+            while col_tile * 2 <= min(budget_rows, 65536):
                 col_tile *= 2
+            if nnz * col_tile / max(m * n, 1) < 1.2:
+                col_tile = min(col_tile * 2, max(n, 1))
     if rows_per_block is None:
         n_tiles = max(-(-n // col_tile), 1)
         density = nnz / max(m * n_tiles, 1)  # edges per row per tile
-        R = int(min(1024, max(256, -(-int(1.6 * E / max(density, 1e-9)) // 8) * 8)))
+        if auto_layout and n_tiles > 1:
+            # Multi-tile auto (swept on v5e, rmat18/rmat20 K=128): the
+            # one-hot scatter costs MXU flops ∝ R while chunk-boundary
+            # padding falls as the window-to-chunk ratio R·d/E grows;
+            # the measured optimum keeps the expected window at ~3.6
+            # chunks (rmat18: R=256, E=128 → 60.7 GF/s vs 43.4 for the
+            # round-1 derivation).  Sparser windows (d < ~1.2) halve E
+            # so the window still spans multiple chunks.
+            E = 128
+            R = int(min(512, max(128,
+                -(-int(3.6 * E / max(density, 1e-9)) // 8) * 8)))
+        else:
+            R = int(min(1024, max(256, -(-int(1.6 * E / max(density, 1e-9)) // 8) * 8)))
     else:
         R = int(rows_per_block)
     if R % 8 or E % 8:

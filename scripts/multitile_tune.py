@@ -39,17 +39,17 @@ which = sys.argv[1] if len(sys.argv) > 1 else "r18"
 
 if which == "r18":
     csr = rmat_graph(scale=18, edge_factor=16, seed=0)
-    bench_plan(csr, "auto (round1)")
-    bench_plan(csr, "ct65536 R256 E256", col_tile=65536, rows_per_block=256,
-               chunk_nnz=256)
-    bench_plan(csr, "ct65536 R128 E128", col_tile=65536, rows_per_block=128,
-               chunk_nnz=128)
-    bench_plan(csr, "ct65536 R64 E64", col_tile=65536, rows_per_block=64,
+    bench_plan(csr, "auto (new)")
+    bench_plan(csr, "ct16384 R128 E64", col_tile=16384, rows_per_block=128,
                chunk_nnz=64)
-    bench_plan(csr, "ct65536 R128 E128 hilo", col_tile=65536,
-               rows_per_block=128, chunk_nnz=128, mode="hilo")
-    bench_plan(csr, "ct131072 R128 E128", col_tile=131072,
-               rows_per_block=128, chunk_nnz=128)
+    bench_plan(csr, "ct16384 R96 E64", col_tile=16384, rows_per_block=96,
+               chunk_nnz=64)
+    bench_plan(csr, "ct16384 R144 E64", col_tile=16384, rows_per_block=144,
+               chunk_nnz=64)
+    bench_plan(csr, "ct16384 R256 E128", col_tile=16384, rows_per_block=256,
+               chunk_nnz=128)
+    bench_plan(csr, "ct16384 R256 E256 (r1best)", col_tile=16384,
+               rows_per_block=256, chunk_nnz=256)
 elif which == "r18b":
     csr = rmat_graph(scale=18, edge_factor=16, seed=0)
     bench_plan(csr, "ct65536 R64 E128", col_tile=65536, rows_per_block=64,

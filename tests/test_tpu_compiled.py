@@ -6,7 +6,10 @@ would otherwise only surface in benchmarks.
 The suite's conftest pins the process to the CPU backend, so this test
 drives a SUBPROCESS that inherits the environment's TPU registration
 (sitecustomize).  Skipped (not failed) when no healthy TPU is reachable
-— including when the tunneled chip is wedged (probe timeout).
+— including when the tunneled chip is wedged (probe timeout).  The probe
+timeout is LONG on purpose: on tunneled runtimes, killing a client with
+in-flight device work wedges the chip for everyone (~1h); set
+GESPMM_SKIP_TPU_GATE=1 to skip without probing.
 """
 
 import os
@@ -115,12 +118,14 @@ print("GATE PASSED", flush=True)
 
 
 def _tpu_alive() -> bool:
+    if os.environ.get("GESPMM_SKIP_TPU_GATE"):
+        return False
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)
     try:
         r = subprocess.run(
             [sys.executable, "-c", _PROBE], capture_output=True, text=True,
-            timeout=120, env=env,
+            timeout=600, env=env,
         )
     except subprocess.TimeoutExpired:
         return False
