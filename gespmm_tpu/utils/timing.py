@@ -100,10 +100,11 @@ def benchmark(
 
 
 def benchmark_chained(
-    step: Callable[[jax.Array], jax.Array],
+    step: Callable[..., jax.Array],
     x0: jax.Array,
     iters: int = 50,
     groups: int = 4,
+    consts=None,
 ) -> BenchResult:
     """Pure device steady-state: `iters` data-chained steps inside ONE jit.
 
@@ -112,11 +113,26 @@ def benchmark_chained(
     `spmm_test.cu:730-760`).  `step` must map an array to an array of the
     same shape/dtype; successive applications are data-dependent so the
     compiler cannot elide or overlap them.
+
+    ``consts``: optional pytree passed as ``step(consts, x)`` and
+    threaded as a jit ARGUMENT.  Closure arrays are inlined into the
+    compiled program as literals — for multi-million-edge tile plans
+    that makes 100MB+ MLIR payloads that the remote compile service
+    rejects (and compiles take minutes); passing them as arguments keeps
+    the program small.
     """
 
-    @jax.jit
-    def chain(x):
-        return jax.lax.fori_loop(0, iters, lambda i, v: step(v), x)
+    if consts is None:
+        @jax.jit
+        def chain(x):
+            return jax.lax.fori_loop(0, iters, lambda i, v: step(v), x)
+    else:
+        @jax.jit
+        def chain_c(c, x):
+            return jax.lax.fori_loop(0, iters, lambda i, v: step(c, v), x)
+
+        def chain(x):
+            return chain_c(consts, x)
 
     out = chain(x0)
     rtt = measure_rtt(out)
