@@ -289,6 +289,22 @@ def spmm_tiled(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     n, K = B.shape
+    # The gathered contribution stream materializes S×K×itemsize bytes in
+    # HBM; at large K × multi-million-slot plans that exceeds device
+    # memory (rmat18 K=512: 17 GB).  Bound it by processing K in slabs —
+    # each slab is an independent gather+reduce over a column slice of B.
+    item = 2 if (B.dtype == jnp.bfloat16 and data is None) else 4
+    slots_max = max(p.num_slots for p in plan.parts)
+    stream_budget = 2 << 30
+    if slots_max * item * K > stream_budget and K > 128:
+        k_slab = max(128, (stream_budget // (slots_max * item) // 128) * 128)
+        outs = []
+        for k0 in range(0, K, k_slab):
+            outs.append(spmm_tiled(
+                plan, data, B[:, k0 : k0 + k_slab], m, k_tile=k_tile,
+                mode=mode, interpret=interpret, reduce=reduce,
+            ))
+        return jnp.concatenate(outs, axis=1)
     # bf16 inputs with implicit-1.0 edges: one bf16 MXU pass is EXACT
     # (the contributions already carry no more than bf16 precision), and
     # the gathered stream halves its HBM traffic.

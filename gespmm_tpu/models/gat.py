@@ -47,20 +47,16 @@ def gat_layer_apply(
     method: str = "auto",
 ) -> Array:
     h = x @ p["w"]  # (n, out)
-    # Additive attention decomposes into per-node terms; the edge logits are
-    # then a rank-2 SDDMM: e = D1[row] . D2[col] with
-    # D1 = [src_score, 1], D2 = [1, dst_score].
+    # Additive attention decomposes into per-node terms; the edge logits
+    # are src_score[row] + dst_score[col] — expressed directly (two
+    # gathers + per-node segment-sum gradients) rather than as the
+    # equivalent rank-2 SDDMM, whose generic VJP runs two K=2 SpMMs
+    # (measured ~6 ms/layer on pubmed).
+    from gespmm_tpu.ops.graph import additive_attention_logits
+
     src_score = h @ p["a_src"]  # (n,)
     dst_score = h @ p["a_dst"]
-    ones = jnp.ones_like(src_score)
-    from gespmm_tpu.ops.sddmm import sddmm
-
-    logits = sddmm(
-        adj,
-        jnp.stack([src_score, ones], axis=1),
-        jnp.stack([ones, dst_score], axis=1),
-        method=method,
-    )
+    logits = additive_attention_logits(adj, src_score, dst_score)
     logits = jax.nn.leaky_relu(logits, negative_slope)
     alpha = edge_softmax(adj, logits)
     out = spmm(adj.with_data(alpha), h, reduce="sum", method=method)

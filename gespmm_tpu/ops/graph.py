@@ -184,6 +184,69 @@ def gat_attention(
     return edge_softmax(adj, scores)
 
 
+@jax.custom_vjp
+def _additive_logits_core(adj: Adjacency, src_score: Array,
+                          dst_score: Array) -> Array:
+    rows = (
+        adj.rows if adj.rows is not None
+        else adj.csr.row_ids()
+    )
+    return (
+        jnp.take(src_score, rows, axis=0)
+        + jnp.take(dst_score, adj.csr.indices, axis=0)
+    )
+
+
+def _additive_logits_fwd(adj, src_score, dst_score):
+    return _additive_logits_core(adj, src_score, dst_score), adj
+
+
+def _additive_logits_bwd(adj, g):
+    # grad_src[r] = Σ_{e: row=r} g_e ; grad_dst[c] = Σ_{e: col=c} g_e —
+    # per-node segment sums riding the stream kernel on plan / plan_t.
+    from gespmm_tpu.sparse.partition import TiledSpmmPlan
+
+    g2 = g[:, None] if g.ndim == 1 else g
+    if isinstance(adj.plan, TiledSpmmPlan) and isinstance(
+        adj.plan_t, TiledSpmmPlan
+    ):
+        from gespmm_tpu.kernels.spmm_stream import edge_segment_reduce
+
+        gs = edge_segment_reduce(adj.plan, g2, "sum")
+        # plan_t's slot order indexes CSC edges: permute the cotangent.
+        gd = edge_segment_reduce(adj.plan_t, g2[adj.perm], "sum")
+    else:
+        rows = adj.rows if adj.rows is not None else adj.csr.row_ids()
+        gs = jax.ops.segment_sum(g2, rows, num_segments=adj.shape[0])
+        gd = jax.ops.segment_sum(g2, adj.csr.indices,
+                                 num_segments=adj.shape[1])
+    if g.ndim == 1:
+        gs, gd = gs[:, 0], gd[:, 0]
+    return (None, gs, gd)
+
+
+_additive_logits_core.defvjp(_additive_logits_fwd, _additive_logits_bwd)
+
+
+def additive_attention_logits(
+    adj: Adjacency, src_score: Array, dst_score: Array
+) -> Array:
+    """Per-edge additive-attention logits: e = src[row_e] + dst[col_e].
+
+    The GATv1 decomposition — a rank-2 SDDMM in disguise, but expressed
+    directly it is two VMEM-fast gathers forward and two per-node
+    segment sums backward (stream-kernel passes when plans exist),
+    instead of a generic SDDMM whose VJP runs two K=2 SpMMs (measured
+    ~6 ms/layer on pubmed — the round-2 GAT wall).
+    ``src_score``/``dst_score``: (m,) / (n,) or (m, H) / (n, H).
+    """
+    if isinstance(adj, CSR):
+        from gespmm_tpu.ops.spmm import Adjacency as _A
+
+        adj = _A.from_csr(adj)
+    return _additive_logits_core(adj, src_score, dst_score)
+
+
 def add_self_loops(csr: CSR, weight: float = 1.0) -> CSR:
     """Host-side: A + weight·I (dedup: existing diagonal entries replaced).
 

@@ -115,3 +115,47 @@ elif which == "pool":
     bench_step("pool sum (control)",
                lambda p: pool_loss(p, reduce="sum"), params)
 print("DONE", flush=True)
+
+if which == "gcnfull":
+    # Replicate the exact gcn_bench train step (dropout + adamw + nll)
+    # and time it with per-call dispatch, vs the bench's grouped timing.
+    import optax
+
+    from gespmm_tpu.models.gcn import GCN
+    from gespmm_tpu.train.loop import TrainState, make_train_step
+
+    ds2 = ds
+    model = GCN(dims=[128, 32, 3], dropout_rate=0.5).with_norms(adj)
+    params = model.init(jax.random.PRNGKey(0))
+    opt = optax.adamw(1e-2, weight_decay=5e-4)
+    state = TrainState(params, opt.init(params), jnp.zeros((), jnp.int32))
+    step = make_train_step(model, opt, adj=adj,
+                           base_key=jax.random.PRNGKey(1))
+    labels = jnp.asarray(ds2.labels)
+    mask = jnp.asarray(ds2.masks["train"])
+    x = jnp.asarray(ds2.features)
+    state, _ = step(state, x, labels, mask)
+
+    def run_once():
+        nonlocal_state = step(state, x, labels, mask)
+        return nonlocal_state[1]
+
+    r = timing.benchmark(lambda: step(state, x, labels, mask)[1], iters=40)
+    print(f"{'full train step (benchmark)':42s} {r.median_s*1e3:8.2f} ms",
+          flush=True)
+    # grouped manual timing like the loop does
+    import time as _t
+    from gespmm_tpu.utils.timing import _fence, measure_rtt
+
+    st = state
+    st, l = step(st, x, labels, mask)
+    rtt = measure_rtt(l)
+    t1 = _t.perf_counter()
+    N = 60
+    for _ in range(N):
+        st, l = step(st, x, labels, mask)
+    _fence(l)
+    dt = (_t.perf_counter() - t1 - rtt) / N
+    print(f"{'full train step (grouped x60)':42s} {dt*1e3:8.2f} ms",
+          flush=True)
+    print("DONE", flush=True)

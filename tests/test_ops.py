@@ -244,3 +244,43 @@ def test_edge_softmax_stream_path_matches_xla_and_grads():
     gd = jax.grad(dense_loss)(logits)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(gd), rtol=1e-4,
                                atol=1e-6)
+
+
+def test_additive_attention_logits_and_grads():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gespmm_tpu.ops.graph import additive_attention_logits
+    from gespmm_tpu.ops.spmm import Adjacency
+    from tests.conftest import random_csr
+
+    csr, mat = random_csr(50, 44, density=0.12, seed=71)
+    coo = mat.tocoo()
+    rng = np.random.default_rng(71)
+    src = jnp.asarray(rng.standard_normal((50,)).astype(np.float32))
+    dst = jnp.asarray(rng.standard_normal((44,)).astype(np.float32))
+    for adj in (Adjacency.from_csr(csr, plan=True, col_tile=16,
+                                   rows_per_block=8, chunk_nnz=8,
+                                   part_rows=24),
+                Adjacency.from_csr(csr)):
+        out = additive_attention_logits(adj, src, dst)
+        golden = np.asarray(src)[coo.row] + np.asarray(dst)[coo.col]
+        np.testing.assert_allclose(np.asarray(out), golden, rtol=1e-6,
+                                   atol=1e-6)
+
+        def loss(s, d):
+            return jnp.sum(jnp.sin(additive_attention_logits(adj, s, d)))
+
+        g1 = jax.grad(loss, argnums=(0, 1))(src, dst)
+        # dense oracle
+        A = jnp.asarray((mat.toarray() != 0).astype(np.float32))
+
+        def dense_loss(s, d):
+            lg = s[:, None] + d[None, :]
+            return jnp.sum(jnp.where(A > 0, jnp.sin(lg), 0.0))
+
+        g2 = jax.grad(dense_loss, argnums=(0, 1))(src, dst)
+        for a, b in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-6)
