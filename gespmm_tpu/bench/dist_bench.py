@@ -20,7 +20,7 @@ import json
 
 
 def bench_weak_scaling(devices_list, scale, k, edge_factor, iters=20,
-                       method="xla"):
+                       method="xla", partition="none"):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -60,8 +60,24 @@ def bench_weak_scaling(devices_list, scale, k, edge_factor, iters=20,
         B = jnp.asarray(
             np.random.default_rng(0).standard_normal((n, k)).astype(np.float32)
         )
-        halo_frac = None
+        halo_frac = naive_frac = None
         if method in ("halo", "halo-tiled"):
+            if partition != "none" and nd > 1:
+                # Cut-reducing node partition (VERDICT r2 #3): permute the
+                # graph so equal row slabs coincide with the computed
+                # shards; B/features follow the same permutation.
+                from gespmm_tpu.sparse.reorder import (
+                    apply_permutation,
+                    halo_need_stats,
+                    partition_order,
+                )
+
+                naive_frac = round(
+                    halo_need_stats(csr, nd)["footprint_frac"], 4
+                )
+                perm = partition_order(csr, nd, method=partition)
+                csr = apply_permutation(csr, perm)
+                B = B[jnp.asarray(perm)]
             hp = build_halo_partition(csr, nd, tiled=(method == "halo-tiled"))
             halo_frac = round(hp.footprint_fraction, 4)
             B = jax.device_put(
@@ -99,6 +115,8 @@ def bench_weak_scaling(devices_list, scale, k, edge_factor, iters=20,
             "nnz_per_s": round(rate, 0),
             "weak_scaling_efficiency": round(eff, 4),
             **({} if halo_frac is None else {"halo_footprint_frac": halo_frac}),
+            **({} if naive_frac is None else
+               {"naive_footprint_frac": naive_frac, "partition": partition}),
         }
         results.append(row)
         print(json.dumps(row))
@@ -125,10 +143,14 @@ def main(argv=None):
     p.add_argument("--iters", type=int, default=20)
     p.add_argument("--method", default="halo-tiled",
                    choices=["allgather", "halo", "halo-tiled"])
+    p.add_argument("--partition", default="none",
+                   choices=["none", "auto", "fennel", "random"],
+                   help="cut-reducing node partition applied before the "
+                        "halo split (sparse/reorder.partition_order)")
     args = p.parse_args(argv)
     bench_weak_scaling(
         args.devices, args.scale, args.k, args.edge_factor, args.iters,
-        method=args.method,
+        method=args.method, partition=args.partition,
     )
 
 
