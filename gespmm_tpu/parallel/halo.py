@@ -5,10 +5,19 @@ device — per-chip memory O(n·K) regardless of shard count, which caps the
 graph size at the single-chip limit.  This module is the scalable design
 (SURVEY §5.8): a host pre-pass computes, per shard pair (q → p), the sorted
 unique set of B rows that shard p's edges actually touch in shard q's
-range; at step time each shard gathers exactly those rows and a single
-padded `all_to_all` delivers them.  Per-chip footprint becomes
-n/P·K + halo·K, where halo is graph-locality-dependent (assertable — see
-`HaloPartition.halo_rows`).
+range; at step time each shard gathers exactly those rows and a schedule
+of `ppermute` rounds delivers them.  Per-chip footprint becomes
+n/P·K + halo·K, where halo = Σ_r H_r is graph-locality-dependent
+(assertable — see `HaloPartition.halo_rows`).
+
+The exchange is RAGGED per round (round 3; was one padded `all_to_all`
+with a single global H): round r ships shard q's rows to shard (q+r)%P,
+padded only to that round's own maximum H_r = max_q |need[(q+r)%P][q]|.
+One hub-heavy pair therefore inflates only its own round, not all P²
+pairs, the send-index memory is P·ΣH_r instead of P²·H, and empty rounds
+are dropped at trace time.  (`jax.lax.ragged_all_to_all` would express
+this as one collective but does not lower on XLA:CPU, which the virtual
+test mesh and the multi-chip dryrun require.)
 
 This is the collective re-expression of the Gunrock scatter pattern
 (`gunrock-test/app/spmm/spmm_enactor.cuh:92-105`): what the GPU baseline
@@ -19,13 +28,15 @@ Structure per shard (row slab p):
   A_p = [A_diag | A_halo]   — columns split by ownership:
   * A_diag: columns owned by p, remapped to the local B shard [0, cpp);
   * A_halo: remote columns, remapped into the received halo table
-    [0, P·H) at position (owner·H + rank-in-need-set).
+    [0, ΣH_r) at position (round_offset[(p-q)%P] + rank-in-need-set).
   out_p = A_diag @ B_p  +  A_halo @ halo_p
 The diagonal SpMM has no dependency on the collective, so XLA overlaps it
-with the all_to_all.  Backward is fully automatic for the XLA tier
-(gather/all_to_all/concat all have transposes) and rides a custom-VJP
-tiled kernel pair for the stream tier — the flagship kernel now runs in
-the sharded TRAIN step, not just inference.
+with the exchange.  Backward is fully automatic for the XLA tier
+(gather/ppermute/concat all have transposes) and rides a custom-VJP
+tiled kernel pair for the stream tier — including edge-value gradients:
+edge values are RUNTIME arrays fetched through per-slot indices (round 3;
+they were baked into the plan at partition time), so sharded
+attention-style models can train on the stream kernel.
 
 Reduction monoids: sum/mean for both tiers; max/min on the XLA tier
 (identity-aware combine across the diag/halo split).
@@ -67,38 +78,41 @@ class LocalTiledCfg:
     rows_per_block: int
     chunk_nnz: int
     out_rows: int
-    has_data: bool
+    nnz_pad: int  # width of the per-shard edge-data array (src sentinel)
+    with_vals: bool = False  # apply a runtime edge-value array?
     mode: str = "trilo"
 
 
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass(frozen=True)
 class LocalTiledArrays:
-    """Stacked per-shard plan arrays (leading axis = shards)."""
+    """Stacked per-shard plan arrays (leading axis = shards).
+
+    ``src`` maps each slot to its edge's index in the shard's LOCAL
+    edge-data array (diag/halo block, forward edge order); sentinel =
+    nnz_pad (out of bounds — reads 0 via take(mode="fill")).  Edge
+    values are fetched through it at RUNTIME, so one structural plan
+    serves every value of differentiable edge weights.
+    """
 
     lcols: Array  # (P, S)
     local_rows: Array  # (P, C, E)
     row_start: Array  # (P, C)
-    vals: Optional[Array]  # (P, S) pre-chunked edge values or None
+    src: Array  # (P, S)
 
     def tree_flatten(self):
-        if self.vals is None:
-            return (self.lcols, self.local_rows, self.row_start), (False,)
-        return (self.lcols, self.local_rows, self.row_start, self.vals), (
-            True,
-        )
+        return (self.lcols, self.local_rows, self.row_start, self.src), ()
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        if aux[0]:
-            return cls(*children)
-        return cls(*children, None)
+        return cls(*children)
 
 
 def _uniform_tiled_plans(
     slabs: List[Tuple[np.ndarray, np.ndarray, Optional[np.ndarray]]],
     out_rows: int,
     table_rows: int,
+    nnz_pad: int,
     col_tile: Optional[int] = None,
     rows_per_block: Optional[int] = None,
     chunk_nnz: int = 256,
@@ -107,8 +121,11 @@ def _uniform_tiled_plans(
     """Build one stream plan per local CSR slab, padded to a shared static
     layout (a `shard_map` requirement: one traced program, all shards).
 
-    slabs: per shard (indptr, indices, data|None) of a local block with
-    `out_rows` output rows and a `table_rows`-row gather table.
+    slabs: per shard (indptr, indices, src_map) of a local block with
+    `out_rows` output rows and a `table_rows`-row gather table; src_map
+    maps the slab's local edge order to the shard's edge-DATA order (for
+    forward blocks that's arange, for transposed blocks the transpose
+    permutation), or None for arange.
     """
     import types
 
@@ -137,7 +154,7 @@ def _uniform_tiled_plans(
     E = int(chunk_nnz)
 
     plans = []
-    for indptr, indices, data in slabs:
+    for indptr, indices, _ in slabs:
         slab = types.SimpleNamespace(
             indptr=indptr, indices=indices, data=None,
             shape=(out_rows, table_rows), nnz=int(indices.shape[0]),
@@ -179,8 +196,7 @@ def _uniform_tiled_plans(
     lcols = np.zeros((Pn, S), np.int32)
     local_rows = np.full((Pn, C, E), R, np.int32)
     row_start = np.zeros((Pn, C), np.int32)
-    has_data = any(d is not None for _, _, d in slabs)
-    vals = np.zeros((Pn, S), np.float32) if has_data else None
+    src_arr = np.full((Pn, S), nnz_pad, np.int32)  # sentinel -> fill 0
     tile_slices = []
     off = 0
     for t in tile_ids:
@@ -189,7 +205,7 @@ def _uniform_tiled_plans(
         ncols = min(col_tile, table_rows - col0)
         tile_slices.append((col0, ncols, off * E, (off + ct) * E))
         for p, pp in enumerate(plans):
-            data = slabs[p][2]
+            src_map = slabs[p][2]
             for c0, _, s0, s1 in pp.tile_slices:
                 if c0 // col_tile != t:
                     continue
@@ -204,17 +220,15 @@ def _uniform_tiled_plans(
                 row_start[p, off : off + nch] = np.asarray(
                     pp.row_start[ch0 : ch0 + nch]
                 )
-                if vals is not None:
-                    src = np.asarray(pp.src[s0:s1])
-                    lr = np.asarray(pp.local_rows[ch0 : ch0 + nch]).reshape(-1)
-                    v = (
-                        data[np.minimum(src, max(len(data) - 1, 0))]
-                        if data is not None and len(data)
-                        else np.ones_like(src, np.float32)
-                    )
-                    vals[p, off * E : off * E + (s1 - s0)] = np.where(
-                        lr < R, v, 0.0
-                    )
+                src = np.asarray(pp.src[s0:s1])
+                lr = np.asarray(pp.local_rows[ch0 : ch0 + nch]).reshape(-1)
+                mapped = (
+                    src if src_map is None or len(src_map) == 0
+                    else src_map[np.minimum(src, len(src_map) - 1)]
+                )
+                src_arr[p, off * E : off * E + (s1 - s0)] = np.where(
+                    lr < R, mapped, nnz_pad
+                )
         off += ct
 
     cfg = LocalTiledCfg(
@@ -223,13 +237,13 @@ def _uniform_tiled_plans(
         rows_per_block=R,
         chunk_nnz=E,
         out_rows=out_rows,
-        has_data=has_data,
+        nnz_pad=nnz_pad,
     )
     arrays = LocalTiledArrays(
         lcols=jnp.asarray(lcols),
         local_rows=jnp.asarray(local_rows),
         row_start=jnp.asarray(row_start),
-        vals=None if vals is None else jnp.asarray(vals),
+        src=jnp.asarray(src_arr),
     )
     return cfg, arrays
 
@@ -239,33 +253,48 @@ def _uniform_tiled_plans(
 # ---------------------------------------------------------------------------
 
 
-def _tiled_apply(cfg: LocalTiledCfg, lcols, local_rows, row_start, vals, B):
-    """One shard's stream-reduce SpMM over its uniform plan slice."""
-    from gespmm_tpu.kernels.spmm_stream import _reduce_part, _round_up
-
-    interpret = jax.default_backend() != "tpu"
-    K = B.shape[1]
-    budget_rows = (64 * 1024 * 1024) // max(cfg.m_pad * 4, 1)
-    kt_max = max(128, (min(512, budget_rows) // 128) * 128)
-    if K <= kt_max:
-        K_pad = kt = K
-    else:
-        # multi-pass: the resident window double-buffers (halved budget)
-        kt_max = max(128, (min(512, budget_rows // 2) // 128) * 128)
-        K_pad = _round_up(K, 128)
-        kt = kt_max
-        while K_pad % kt:
-            kt -= 128
-    B32 = B.astype(jnp.float32)
-    if K_pad != K:
-        B32 = jnp.pad(B32, ((0, 0), (0, K_pad - K)))
+def _gather_slots(cfg: LocalTiledCfg, lcols, B32):
     pieces = [
         jnp.take(B32[c0 : c0 + nc], lcols[s0:s1], axis=0)
         for c0, nc, s0, s1 in cfg.tile_slices
     ]
-    contrib = pieces[0] if len(pieces) == 1 else jnp.concatenate(pieces, 0)
-    if vals is not None:
-        contrib = contrib * vals[:, None]
+    return pieces[0] if len(pieces) == 1 else jnp.concatenate(pieces, 0)
+
+
+def _fit_kt_local(cfg: LocalTiledCfg, K: int):
+    from gespmm_tpu.kernels.spmm_stream import _round_up
+
+    budget_rows = (64 * 1024 * 1024) // max(cfg.m_pad * 4, 1)
+    kt_max = max(128, (min(512, budget_rows) // 128) * 128)
+    if K <= kt_max:
+        return K, K
+    K_pad = _round_up(K, 128)
+    kt = kt_max
+    while K_pad % kt:
+        kt -= 128
+    return K_pad, kt
+
+
+def _tiled_apply(cfg: LocalTiledCfg, lcols, local_rows, row_start, src,
+                 edata, B):
+    """One shard's stream-reduce SpMM over its uniform plan slice.
+
+    ``edata``: (nnz_pad,) runtime edge values in the shard's local edge
+    order, fetched per slot through ``src`` — or ignored when the cfg
+    says the block is binary."""
+    from gespmm_tpu.kernels.spmm_stream import _reduce_part
+
+    interpret = jax.default_backend() != "tpu"
+    K = B.shape[1]
+    K_pad, kt = _fit_kt_local(cfg, K)
+    B32 = B.astype(jnp.float32)
+    if K_pad != K:
+        B32 = jnp.pad(B32, ((0, 0), (0, K_pad - K)))
+    contrib = _gather_slots(cfg, lcols, B32)
+    if cfg.with_vals:
+        v = jnp.take(edata.astype(jnp.float32), src, mode="fill",
+                     fill_value=0.0)
+        contrib = contrib * v[:, None]
     out = _reduce_part(
         contrib, local_rows, row_start, cfg.m_pad, cfg.rows_per_block,
         kt, cfg.mode, interpret, op="sum",
@@ -275,26 +304,51 @@ def _tiled_apply(cfg: LocalTiledCfg, lcols, local_rows, row_start, vals, B):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
 def _local_tiled(cfg_f: LocalTiledCfg, cfg_b: LocalTiledCfg,
-                 lcols_f, lrows_f, rstart_f, vals_f,
-                 lcols_b, lrows_b, rstart_b, vals_b, B):
-    """Differentiable per-shard tiled SpMM; backward runs the transposed
-    local block through the same kernel (grads w.r.t. B only — edge
-    values are captured in the plan at partition time)."""
-    return _tiled_apply(cfg_f, lcols_f, lrows_f, rstart_f, vals_f, B)
+                 lcols_f, lrows_f, rstart_f, src_f,
+                 lcols_b, lrows_b, rstart_b, src_b, edata, B):
+    """Differentiable per-shard tiled SpMM.  Backward w.r.t. B runs the
+    transposed local block through the same kernel; backward w.r.t. the
+    runtime edge values is the per-slot SDDMM dual grad_val[e] =
+    Σ_k g[row_e]·B[col_e] scattered through ``src``."""
+    return _tiled_apply(cfg_f, lcols_f, lrows_f, rstart_f, src_f, edata, B)
 
 
-def _local_tiled_fwd(cfg_f, cfg_b, lcols_f, lrows_f, rstart_f, vals_f,
-                     lcols_b, lrows_b, rstart_b, vals_b, B):
-    out = _tiled_apply(cfg_f, lcols_f, lrows_f, rstart_f, vals_f, B)
-    return out, (lcols_b, lrows_b, rstart_b, vals_b)
+def _local_tiled_fwd(cfg_f, cfg_b, lcols_f, lrows_f, rstart_f, src_f,
+                     lcols_b, lrows_b, rstart_b, src_b, edata, B):
+    out = _tiled_apply(cfg_f, lcols_f, lrows_f, rstart_f, src_f, edata, B)
+    return out, (lcols_f, lrows_f, rstart_f, src_f,
+                 lcols_b, lrows_b, rstart_b, src_b, edata, B)
 
 
 def _local_tiled_bwd(cfg_f, cfg_b, res, g):
-    lcols_b, lrows_b, rstart_b, vals_b = res
+    (lcols_f, lrows_f, rstart_f, src_f,
+     lcols_b, lrows_b, rstart_b, src_b, edata, B) = res
     # cfg_b.out_rows == the forward's table row count, so grad_B already
     # has B's shape; cotangent dtype matches B's.
-    grad_B = _tiled_apply(cfg_b, lcols_b, lrows_b, rstart_b, vals_b, g)
-    return (None, None, None, None, None, None, None, None, grad_B)
+    grad_B = _tiled_apply(cfg_b, lcols_b, lrows_b, rstart_b, src_b, edata, g)
+    zeros = (None, None, None, None, None, None, None, None)
+    if not cfg_f.with_vals:
+        return zeros + (jnp.zeros_like(edata), grad_B)
+    # grad_val in the forward slot layout: b_slot · g_slot summed over K.
+    g32 = g.astype(jnp.float32)
+    if g32.shape[0] < cfg_f.m_pad:
+        g32 = jnp.pad(g32, ((0, cfg_f.m_pad - g32.shape[0]), (0, 0)))
+    b_slot = _gather_slots(cfg_f, lcols_f, B.astype(jnp.float32))
+    R = cfg_f.rows_per_block
+    slot_rows = jnp.minimum(
+        (rstart_f[:, None] + lrows_f).reshape(-1), cfg_f.m_pad - 1
+    )
+    g_slot = jnp.take(g32, slot_rows, axis=0)
+    prod = jnp.sum(b_slot * g_slot, axis=-1)
+    valid = (lrows_f < R).reshape(-1)
+    # Barrier: XLA:TPU intermittently miscompiles scatters whose update
+    # operand is a fused product of gathers (see ops/reference).
+    prod = jax.lax.optimization_barrier(prod)
+    gd = jnp.zeros((cfg_f.nnz_pad + 1,), jnp.float32).at[
+        jnp.where(valid, src_f, cfg_f.nnz_pad)
+    ].set(prod)
+    grad_edata = gd[: edata.shape[0]].astype(edata.dtype)
+    return zeros + (grad_edata, grad_B)
 
 
 _local_tiled.defvjp(_local_tiled_fwd, _local_tiled_bwd)
@@ -308,17 +362,22 @@ _local_tiled.defvjp(_local_tiled_fwd, _local_tiled_bwd)
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass(frozen=True)
 class HaloPartition:
-    """Row-slab partition with per-shard diag/halo splits + exchange plan.
+    """Row-slab partition with per-shard diag/halo splits + ragged
+    exchange schedule.
 
-    Arrays (P shards, H halo rows per (owner, dest) pair):
-      send_idx:   (P, P, H) int32 — send_idx[q, p] = B-shard-local rows
-                  shard q sends to shard p (pad -> 0).
-      diag_*:     per-shard CSR over local columns [0, cpp)  (phantom-row
-                  nnz padding with mask, as PartitionedAdjacency).
-      halo_*:     per-shard CSR over the received halo table [0, P*H).
+    Arrays (P shards):
+      send_idx:   (P, ΣH_r) int32 — shard q's B-shard-local rows to send,
+                  concatenated per round (pad -> 0); round r's slice goes
+                  to shard (q+r)%P.
+      diag_*:     per-shard CSR over local columns [0, cpp).
+      halo_*:     per-shard CSR over the received halo table [0, ΣH_r).
+      diag_src / halo_src: (P, max_nnz) int32 GLOBAL CSR edge id of each
+                  local edge (sentinel -1) — the runtime edge-value
+                  split rides these (`split_edge_values`).
       deg:        (P, rpp) f32 — TOTAL row degree (for mean).
-    Static: shape (m, n), rpp, cpp, H; optional uniform tiled plans for
-      diag/halo forward+backward (the differentiable stream tier).
+    Static: shape (m, n), rpp, cpp, rounds ((r, H_r) per nonzero round),
+      H = max H_r; optional uniform tiled plans for diag/halo
+      forward+backward (the differentiable stream tier).
     """
 
     send_idx: Array
@@ -326,47 +385,54 @@ class HaloPartition:
     diag_indices: Array
     diag_data: Optional[Array]
     diag_mask: Array
+    diag_src: Array
     halo_indptr: Array
     halo_indices: Array
     halo_data: Optional[Array]
     halo_mask: Array
+    halo_src: Array
     deg: Array
     shape: Tuple[int, int]
     rpp: int
     cpp: int
-    H: int
+    rounds: Tuple[Tuple[int, int], ...]
     tiled_cfgs: Optional[Tuple[LocalTiledCfg, ...]] = None
     tiled_arrays: Optional[Tuple[LocalTiledArrays, ...]] = None
 
     def tree_flatten(self):
         arrays = (
             self.send_idx, self.diag_indptr, self.diag_indices,
-            self.diag_data, self.diag_mask, self.halo_indptr,
-            self.halo_indices, self.halo_data, self.halo_mask, self.deg,
-            self.tiled_arrays,
+            self.diag_data, self.diag_mask, self.diag_src,
+            self.halo_indptr, self.halo_indices, self.halo_data,
+            self.halo_mask, self.halo_src, self.deg, self.tiled_arrays,
         )
-        aux = (self.shape, self.rpp, self.cpp, self.H, self.tiled_cfgs)
+        aux = (self.shape, self.rpp, self.cpp, self.rounds, self.tiled_cfgs)
         return arrays, aux
 
     @classmethod
     def tree_unflatten(cls, aux, arrays):
-        (send_idx, dip, dii, did, dim_, hip, hii, hid, him, deg,
+        (send_idx, dip, dii, did, dim_, dsr, hip, hii, hid, him, hsr, deg,
          tarr) = arrays
-        shape, rpp, cpp, H, tcfg = aux
-        return cls(send_idx, dip, dii, did, dim_, hip, hii, hid, him, deg,
-                   shape, rpp, cpp, H, tcfg, tarr)
+        shape, rpp, cpp, rounds, tcfg = aux
+        return cls(send_idx, dip, dii, did, dim_, dsr, hip, hii, hid, him,
+                   hsr, deg, shape, rpp, cpp, rounds, tcfg, tarr)
 
     @property
     def num_parts(self) -> int:
         return int(self.send_idx.shape[0])
 
     @property
+    def H(self) -> int:
+        """Largest per-round (= per-pair, 8-aligned) halo block."""
+        return max((h for _, h in self.rounds), default=0)
+
+    @property
     def halo_rows(self) -> int:
         """Halo-table rows per shard — the communicated footprint.
 
         Per-shard dense memory is (cpp + halo_rows)·K·4 bytes, vs n·K·4
-        for the all-gather formulation."""
-        return self.num_parts * self.H
+        for the all-gather formulation.  Ragged: Σ_r H_r (was P·H)."""
+        return max(sum(h for _, h in self.rounds), 8)
 
     @property
     def footprint_fraction(self) -> float:
@@ -374,16 +440,18 @@ class HaloPartition:
         return (self.cpp + self.halo_rows) / max(self.shape[1], 1)
 
 
-def _transpose_local(indptr, indices, data, rows_out, rows_of_edge):
+def _transpose_local(indptr, indices, src_map, rows_out, rows_of_edge):
     """CSC ordering of a local block (host): returns (indptr_t, indices_t,
-    data_t) with `rows_out` output rows (= the block's column count)."""
+    src_map_t) with `rows_out` output rows (= the block's column count).
+    src_map_t maps the transposed edge order back to the FORWARD local
+    edge order (composing any given src_map)."""
     order = np.argsort(indices, kind="stable")
     ind_t = rows_of_edge[order].astype(np.int32)
     ptr_t = np.zeros(rows_out + 1, np.int64)
     np.add.at(ptr_t, indices + 1, 1)
     ptr_t = np.cumsum(ptr_t).astype(np.int32)
-    d_t = None if data is None else data[order]
-    return ptr_t, ind_t, d_t
+    m_t = order.astype(np.int32) if src_map is None else src_map[order]
+    return ptr_t, ind_t, m_t
 
 
 def build_halo_partition(
@@ -396,8 +464,8 @@ def build_halo_partition(
     rows_per_block: Optional[int] = None,
 ) -> HaloPartition:
     """Host pre-pass: slab rows, split columns by ownership, compute the
-    per-pair halo index sets, remap, and (optionally) build the uniform
-    stream plans for the differentiable tiled tier."""
+    ragged per-round halo schedule, remap, and (optionally) build the
+    uniform stream plans for the differentiable tiled tier."""
     indptr = np.asarray(csr.indptr)
     indices = np.asarray(csr.indices)
     data = None if csr.data is None else np.asarray(csr.data)
@@ -408,9 +476,8 @@ def build_halo_partition(
     rows_all = np.repeat(np.arange(m, dtype=np.int32), np.diff(indptr))
 
     # Pass 1: per shard, split edges and collect need-sets.
-    shard_edges = []  # (lrows, cols, vals, owner) for each shard
+    shard_edges = []  # (lrows, cols, vals, owner, gids) for each shard
     need = [[None] * Pn for _ in range(Pn)]  # need[p][q] sorted unique cols
-    H = 1
     for p in range(Pn):
         r0, r1 = p * rpp, min((p + 1) * rpp, m)
         s, e = int(indptr[min(r0, m)]), int(indptr[min(r1, m)])
@@ -418,22 +485,40 @@ def build_halo_partition(
         cols = indices[s:e]
         vals = None if data is None else data[s:e]
         owner = cols // cpp
-        shard_edges.append((lrows, cols, vals, owner))
+        gids = np.arange(s, e, dtype=np.int32)
+        shard_edges.append((lrows, cols, vals, owner, gids))
         for q in range(Pn):
             if q == p:
                 continue
-            cq = np.unique(cols[owner == q])
-            need[p][q] = cq
-            H = max(H, len(cq))
-    H = -(-H // 8) * 8  # 8-aligned for clean layouts
+            need[p][q] = np.unique(cols[owner == q])
 
-    send_idx = np.zeros((Pn, Pn, H), np.int32)
-    for p in range(Pn):
-        for q in range(Pn):
-            if q == p or need[p][q] is None:
-                continue
+    # Ragged round schedule: round r ships q -> (q+r)%P; its size is the
+    # max need over the P pairs IN THAT ROUND only (8-aligned).
+    rounds: List[Tuple[int, int]] = []
+    for r in range(1, Pn):
+        Hr = max(
+            (len(need[(q + r) % Pn][q]) for q in range(Pn)
+             if need[(q + r) % Pn][q] is not None),
+            default=0,
+        )
+        if Hr > 0:
+            rounds.append((r, -(-Hr // 8) * 8))
+    S_send = max(sum(h for _, h in rounds), 1)
+    round_off = {}
+    off = 0
+    for r, h in rounds:
+        round_off[r] = off
+        off += h
+
+    send_idx = np.zeros((Pn, S_send), np.int32)
+    for q in range(Pn):
+        for r, h in rounds:
+            p = (q + r) % Pn
             cq = need[p][q]
-            send_idx[q, p, : len(cq)] = cq - q * cpp
+            if cq is None or len(cq) == 0:
+                continue
+            o = round_off[r]
+            send_idx[q, o : o + len(cq)] = cq - q * cpp
 
     # Pass 2: build local diag/halo CSRs (+ padded stacks + transposes).
     def stack_csrs(blocks, rows):
@@ -441,49 +526,56 @@ def build_halo_partition(
         ip = np.zeros((Pn, rows + 1), np.int32)
         ii = np.zeros((Pn, max_nnz), np.int32)
         msk = np.zeros((Pn, max_nnz), bool)
+        gsr = np.full((Pn, max_nnz), -1, np.int32)
         dd = (
             np.zeros((Pn, max_nnz), np.float32)
             if any(b[2] is not None for b in blocks)
             else None
         )
-        for p, (lp, li, ld) in enumerate(blocks):
+        for p, (lp, li, ld, lg) in enumerate(blocks):
             ip[p, : lp.shape[0]] = lp
             if lp.shape[0] < rows + 1:
                 ip[p, lp.shape[0]:] = lp[-1]
             ii[p, : li.shape[0]] = li
             msk[p, : li.shape[0]] = True
+            gsr[p, : lg.shape[0]] = lg
             if dd is not None and ld is not None:
                 dd[p, : li.shape[0]] = ld
-        return ip, ii, dd, msk
+        return ip, ii, dd, msk, gsr, max_nnz
 
-    def local_csr(lrows, lcols, lvals, rows):
+    def local_csr(lrows, lcols, lvals, lgids, rows):
         counts = np.bincount(lrows, minlength=rows)
         lp = np.concatenate([[0], np.cumsum(counts)]).astype(np.int32)
-        return lp, lcols.astype(np.int32), lvals
+        return lp, lcols.astype(np.int32), lvals, lgids
 
+    halo_tbl_rows = max(sum(h for _, h in rounds), 8)
     diag_blocks, halo_blocks = [], []
     diag_t_blocks, halo_t_blocks = [], []
     deg = np.zeros((Pn, rpp), np.float32)
     for p in range(Pn):
-        lrows, cols, vals, owner = shard_edges[p]
+        lrows, cols, vals, owner, gids = shard_edges[p]
         np.add.at(deg[p], lrows, 1.0)
         is_diag = owner == p
         # diag block: local column ids
         dr, dc = lrows[is_diag], (cols - p * cpp)[is_diag]
         dv = None if vals is None else vals[is_diag]
+        dg = gids[is_diag]
         order = np.argsort(dr, kind="stable")  # rows must be sorted
-        dr, dc = dr[order], dc[order]
+        dr, dc, dg = dr[order], dc[order], dg[order]
         dv = None if dv is None else dv[order]
-        diag_blocks.append(local_csr(dr, dc, dv, rpp))
-        diag_t_blocks.append(_transpose_local(*diag_blocks[-1][:2],
-                                              diag_blocks[-1][2], cpp, dr)
-                             if len(dr) else
-                             (np.zeros(cpp + 1, np.int32),
-                              np.zeros(0, np.int32), None))
-        # halo block: remap remote cols to owner*H + rank
+        diag_blocks.append(local_csr(dr, dc, dv, dg, rpp))
+        diag_t_blocks.append(
+            _transpose_local(diag_blocks[-1][0], diag_blocks[-1][1], None,
+                             cpp, dr)
+            if len(dr) else
+            (np.zeros(cpp + 1, np.int32), np.zeros(0, np.int32),
+             np.zeros(0, np.int32))
+        )
+        # halo block: remap remote cols to round_offset + rank
         hr_mask = ~is_diag
         hr, hc_g, ho = lrows[hr_mask], cols[hr_mask], owner[hr_mask]
         hv = None if vals is None else vals[hr_mask]
+        hg = gids[hr_mask]
         hc = np.zeros_like(hc_g)
         for q in range(Pn):
             if q == p:
@@ -491,33 +583,42 @@ def build_halo_partition(
             sel = ho == q
             if not sel.any():
                 continue
-            hc[sel] = q * H + np.searchsorted(need[p][q], hc_g[sel])
+            r = (p - q) % Pn
+            hc[sel] = round_off[r] + np.searchsorted(need[p][q], hc_g[sel])
         order = np.argsort(hr, kind="stable")
-        hr, hc = hr[order], hc[order]
+        hr, hc, hg = hr[order], hc[order], hg[order]
         hv = None if hv is None else hv[order]
-        halo_blocks.append(local_csr(hr, hc, hv, rpp))
-        halo_t_blocks.append(_transpose_local(*halo_blocks[-1][:2],
-                                              halo_blocks[-1][2], Pn * H, hr)
-                             if len(hr) else
-                             (np.zeros(Pn * H + 1, np.int32),
-                              np.zeros(0, np.int32), None))
+        halo_blocks.append(local_csr(hr, hc, hv, hg, rpp))
+        halo_t_blocks.append(
+            _transpose_local(halo_blocks[-1][0], halo_blocks[-1][1], None,
+                             halo_tbl_rows, hr)
+            if len(hr) else
+            (np.zeros(halo_tbl_rows + 1, np.int32), np.zeros(0, np.int32),
+             np.zeros(0, np.int32))
+        )
 
-    dip, dii, did, dim_ = stack_csrs(diag_blocks, rpp)
-    hip, hii, hid, him = stack_csrs(halo_blocks, rpp)
+    dip, dii, did, dim_, dsr, d_nnz = stack_csrs(diag_blocks, rpp)
+    hip, hii, hid, him, hsr, h_nnz = stack_csrs(halo_blocks, rpp)
 
     tiled_cfgs = tiled_arrays = None
     if tiled:
-        slabs_df = [(b[0], b[1], b[2]) for b in diag_blocks]
+        slabs_df = [(b[0], b[1], None) for b in diag_blocks]
         slabs_db = [(b[0], b[1], b[2]) for b in diag_t_blocks]
-        slabs_hf = [(b[0], b[1], b[2]) for b in halo_blocks]
+        slabs_hf = [(b[0], b[1], None) for b in halo_blocks]
         slabs_hb = [(b[0], b[1], b[2]) for b in halo_t_blocks]
         kw = dict(col_tile=col_tile, rows_per_block=rows_per_block,
                   chunk_nnz=chunk_nnz)
-        cfg_df, arr_df = _uniform_tiled_plans(slabs_df, rpp, cpp, **kw)
-        cfg_db, arr_db = _uniform_tiled_plans(slabs_db, cpp, rpp, **kw)
-        cfg_hf, arr_hf = _uniform_tiled_plans(slabs_hf, rpp, Pn * H, **kw)
-        cfg_hb, arr_hb = _uniform_tiled_plans(slabs_hb, Pn * H, rpp, **kw)
-        tiled_cfgs = (cfg_df, cfg_db, cfg_hf, cfg_hb)
+        cfg_df, arr_df = _uniform_tiled_plans(slabs_df, rpp, cpp, d_nnz, **kw)
+        cfg_db, arr_db = _uniform_tiled_plans(slabs_db, cpp, rpp, d_nnz, **kw)
+        cfg_hf, arr_hf = _uniform_tiled_plans(
+            slabs_hf, rpp, halo_tbl_rows, h_nnz, **kw)
+        cfg_hb, arr_hb = _uniform_tiled_plans(
+            slabs_hb, halo_tbl_rows, rpp, h_nnz, **kw)
+        has_data = data is not None
+        tiled_cfgs = tuple(
+            dataclasses.replace(c, with_vals=has_data)
+            for c in (cfg_df, cfg_db, cfg_hf, cfg_hb)
+        )
         tiled_arrays = (arr_df, arr_db, arr_hf, arr_hb)
 
     return HaloPartition(
@@ -526,18 +627,39 @@ def build_halo_partition(
         diag_indices=jnp.asarray(dii),
         diag_data=None if did is None else jnp.asarray(did),
         diag_mask=jnp.asarray(dim_),
+        diag_src=jnp.asarray(dsr),
         halo_indptr=jnp.asarray(hip),
         halo_indices=jnp.asarray(hii),
         halo_data=None if hid is None else jnp.asarray(hid),
         halo_mask=jnp.asarray(him),
+        halo_src=jnp.asarray(hsr),
         deg=jnp.asarray(deg),
         shape=(m, n),
         rpp=rpp,
         cpp=cpp,
-        H=H,
+        rounds=tuple(rounds),
         tiled_cfgs=tiled_cfgs,
         tiled_arrays=tiled_arrays,
     )
+
+
+def split_edge_values(hp: HaloPartition, vals: Array):
+    """Split global CSR-ordered edge values into the per-shard stacked
+    (diag_vals, halo_vals) runtime arrays the halo op consumes.
+
+    Jittable and differentiable (gather; its transpose scatter-adds the
+    per-shard cotangents back to CSR order) — the path by which sharded
+    attention-style models feed per-step edge weights (e.g. softmaxed
+    logits) into the distributed SpMM.
+    """
+    v = jnp.asarray(vals)
+    dv = jnp.take(v, jnp.maximum(hp.diag_src, 0), axis=0) * (
+        hp.diag_src >= 0
+    ).astype(v.dtype)
+    hv = jnp.take(v, jnp.maximum(hp.halo_src, 0), axis=0) * (
+        hp.halo_src >= 0
+    ).astype(v.dtype)
+    return dv, hv
 
 
 # ---------------------------------------------------------------------------
@@ -566,25 +688,35 @@ def halo_spmm(
     method: str = "auto",
     axis: str = "data",
     model_axis: Optional[str] = "model",
+    diag_vals: Optional[Array] = None,
+    halo_vals: Optional[Array] = None,
 ) -> Array:
     """C = A @ B with A row-partitioned and B row-sharded over `axis`,
-    exchanging ONLY the halo rows each shard needs.
+    exchanging ONLY the halo rows each shard needs (ragged ppermute
+    rounds — see the module docstring).
 
     B: (num_parts*cpp, K) sharded P(axis, model_axis); result
-    (num_parts*rpp, K) sharded the same.  Differentiable: the XLA tier
-    end-to-end (including edge values); the tiled tier w.r.t. B.
+    (num_parts*rpp, K) sharded the same.  Differentiable end-to-end on
+    both tiers, INCLUDING edge values.
+
+    diag_vals / halo_vals: optional (P, max_nnz) runtime edge-value
+    stacks (from :func:`split_edge_values`) overriding the values baked
+    at partition time — pass them to train edge-weighted models (both
+    must be given together).
 
     method: "auto" (tiled when plans were built and reduce is sum/mean,
     else xla) | "tiled" | "xla".
     """
     if reduce not in ("sum", "mean", "max", "min"):
         raise ValueError(f"unknown reduce {reduce!r}")
-    Pn, rpp, cpp, H = hp.num_parts, hp.rpp, hp.cpp, hp.H
+    Pn, rpp, cpp = hp.num_parts, hp.rpp, hp.cpp
     if B.shape[0] != Pn * cpp:
         raise ValueError(
             f"B must be padded to num_parts*cpp = {Pn * cpp} rows "
             f"(got {B.shape[0]}); pad with pad_for_halo()"
         )
+    if (diag_vals is None) != (halo_vals is None):
+        raise ValueError("pass diag_vals and halo_vals together")
     has_tiled = hp.tiled_cfgs is not None
     if method == "auto":
         method = "tiled" if (has_tiled and reduce in ("sum", "mean")) else "xla"
@@ -601,13 +733,40 @@ def halo_spmm(
     model_in_mesh = model_axis if (model_axis in mesh.axis_names) else None
 
     base = reduce if reduce in ("max", "min") else "sum"
-    has_dd = hp.diag_data is not None
-    has_hd = hp.halo_data is not None
+    rt_vals = diag_vals is not None
+    dvals = diag_vals if rt_vals else hp.diag_data
+    hvals = halo_vals if rt_vals else hp.halo_data
+    has_dd = dvals is not None
+    has_hd = hvals is not None
+    halo_tbl_rows = hp.halo_rows
+    rounds = hp.rounds
+    round_off = {}
+    off = 0
+    for r, h in rounds:
+        round_off[r] = off
+        off += h
 
     def exchange(send_idx, B_shard):
-        req = jnp.take(B_shard, send_idx.reshape(-1), axis=0)
-        return jax.lax.all_to_all(req, axis, split_axis=0, concat_axis=0,
-                                  tiled=True)
+        """Ragged exchange: gather all send rows once, then one ppermute
+        per nonzero round (r ships q -> (q+r)%P).  The received blocks
+        concatenate in round order — exactly the halo CSR's column
+        layout.  The diagonal SpMM has no data dependency on any round,
+        so XLA overlaps it with the whole schedule."""
+        K = B_shard.shape[1]
+        if not rounds:
+            return jnp.zeros((halo_tbl_rows, K), B_shard.dtype)
+        req = jnp.take(B_shard, send_idx, axis=0)
+        blocks = []
+        for r, h in rounds:
+            o = round_off[r]
+            perm = [(q, (q + r) % Pn) for q in range(Pn)]
+            blocks.append(
+                jax.lax.ppermute(req[o : o + h], axis, perm=perm)
+            )
+        out = blocks[0] if len(blocks) == 1 else jnp.concatenate(blocks, 0)
+        if out.shape[0] < halo_tbl_rows:
+            out = jnp.pad(out, ((0, halo_tbl_rows - out.shape[0]), (0, 0)))
+        return out
 
     def body_xla(send_idx, dip, dii, dd, dm, hip, hii, hd, hm, deg, B_shard):
         halo_tbl = exchange(send_idx[0], B_shard)
@@ -631,16 +790,18 @@ def halo_spmm(
             out = out / jnp.maximum(deg[0], 1.0)[:, None]
         return out
 
-    def body_tiled(send_idx, deg, arr_df, arr_db, arr_hf, arr_hb, B_shard):
-        cfg_df, cfg_db, cfg_hf, cfg_hb = hp.tiled_cfgs
+    def body_tiled(send_idx, deg, arr_df, arr_db, arr_hf, arr_hb,
+                   dv, hv, B_shard):
+        cfg_df, cfg_db, cfg_hf, cfg_hb = cfgs
         halo_tbl = exchange(send_idx[0], B_shard)
 
         def sl(a: LocalTiledArrays):
-            return (a.lcols[0], a.local_rows[0], a.row_start[0],
-                    None if a.vals is None else a.vals[0])
+            return (a.lcols[0], a.local_rows[0], a.row_start[0], a.src[0])
 
-        od = _local_tiled(cfg_df, cfg_db, *sl(arr_df), *sl(arr_db), B_shard)
-        oh = _local_tiled(cfg_hf, cfg_hb, *sl(arr_hf), *sl(arr_hb), halo_tbl)
+        od = _local_tiled(cfg_df, cfg_db, *sl(arr_df), *sl(arr_db),
+                          dv[0], B_shard)
+        oh = _local_tiled(cfg_hf, cfg_hb, *sl(arr_hf), *sl(arr_hb),
+                          hv[0], halo_tbl)
         out = od + oh
         if reduce == "mean":
             out = out / jnp.maximum(deg[0], 1.0)[:, None]
@@ -649,32 +810,39 @@ def halo_spmm(
     sx = P(axis, None)
     if method == "tiled":
         arrs = hp.tiled_arrays
+        use_vals = has_dd
+        cfgs = tuple(
+            dataclasses.replace(c, with_vals=use_vals)
+            for c in hp.tiled_cfgs
+        )
+        dv = dvals if use_vals else jnp.zeros((Pn, 1), B.dtype)
+        hv = hvals if use_vals else jnp.zeros((Pn, 1), B.dtype)
 
-        # Specs matching the pytree structure of each LocalTiledArrays.
         def arr_spec(a: LocalTiledArrays):
             return LocalTiledArrays(
                 lcols=P(axis, None),
                 local_rows=P(axis, None, None),
                 row_start=P(axis, None),
-                vals=None if a.vals is None else P(axis, None),
+                src=P(axis, None),
             )
 
         in_specs = (
-            P(axis, None, None), sx,
+            P(axis, None), sx,
             arr_spec(arrs[0]), arr_spec(arrs[1]),
             arr_spec(arrs[2]), arr_spec(arrs[3]),
+            sx, sx,
             P(axis, model_in_mesh),
         )
         fn = shard_map(
             body_tiled, mesh=mesh, in_specs=in_specs,
             out_specs=P(axis, model_in_mesh), check_vma=False,
         )
-        return fn(hp.send_idx, hp.deg, *arrs, B)
+        return fn(hp.send_idx, hp.deg, *arrs, dv, hv, B)
 
     args = [hp.send_idx, hp.diag_indptr, hp.diag_indices]
-    in_specs = [P(axis, None, None), sx, sx]
-    dd = hp.diag_data if has_dd else jnp.zeros((1, 1), B.dtype)
-    hd = hp.halo_data if has_hd else jnp.zeros((1, 1), B.dtype)
+    in_specs = [P(axis, None), sx, sx]
+    dd = dvals if has_dd else jnp.zeros((1, 1), B.dtype)
+    hd = hvals if has_hd else jnp.zeros((1, 1), B.dtype)
     args += [dd, hp.diag_mask, hp.halo_indptr, hp.halo_indices, hd,
              hp.halo_mask, hp.deg, B]
     in_specs += [sx if has_dd else P(None, None), sx, sx, sx,

@@ -101,6 +101,7 @@ def test_dist_spmm_jit_and_edge_values():
     np.testing.assert_allclose(out, mat @ np.asarray(B_host), **TOL)
 
 
+@pytest.mark.slow
 def test_sharded_gcn_train_step_loss_decreases():
     from gespmm_tpu.ops.graph import add_self_loops
     from gespmm_tpu.parallel.train_step import build_sharded_gcn
@@ -289,3 +290,111 @@ def test_halo_oversize_slab_raises():
     csr, _ = random_csr(140000, 64, density=0.0005, seed=41)
     with pytest.raises(ValueError, match="exceeds|limit"):
         build_halo_partition(csr, 1, tiled=True)
+
+
+def test_halo_ragged_rounds_cut_comm_on_skewed_graph():
+    # One hub-heavy pair must inflate only its own round, not all P^2
+    # pairs: halo_rows (= sum of per-round sizes) must sit well below
+    # P * H (the round-2 padded-exchange footprint).
+    import scipy.sparse as sp
+    from gespmm_tpu.sparse.formats import csr_from_scipy
+    from gespmm_tpu.parallel.halo import (
+        build_halo_partition, halo_spmm, pad_for_halo,
+    )
+
+    n, nd = 512, 8
+    rng = np.random.default_rng(11)
+    # banded base: every pair needs ~bw rows
+    mat = sp.diags([np.ones(n - 1), np.ones(n), np.ones(n - 1)],
+                   offsets=[-1, 0, 1], format="lil")
+    # one hub pair: shard 0's rows reference MANY columns of shard 7
+    hub_cols = rng.choice(np.arange(448, 512), size=60, replace=False)
+    for i, c in enumerate(hub_cols):
+        mat[i % 64, c] = 1.0
+    csr = csr_from_scipy(mat.tocsr().astype(np.float32))
+    hp = build_halo_partition(csr, nd, tiled=False)
+    assert hp.halo_rows < nd * hp.H / 2, (hp.halo_rows, nd * hp.H)
+    # and the op still matches dense
+    mesh = make_mesh(data=nd, model=1, devices=jax.devices()[:nd])
+    B = rng.standard_normal((n, 8)).astype(np.float32)
+    Bd = jax.device_put(pad_for_halo(hp, jnp.asarray(B)),
+                        NamedSharding(mesh, P("data", None)))
+    out = jax.jit(lambda b: halo_spmm(hp, b, mesh, model_axis=None))(Bd)
+    dense = mat.tocsr().astype(np.float32).toarray()
+    np.testing.assert_allclose(np.asarray(out)[:n], dense @ B, rtol=1e-5,
+                               atol=1e-5)
+
+
+def test_halo_tiled_runtime_edge_value_grads_vs_dense():
+    # Sharded training of an edge-weighted model on the STREAM tier:
+    # gradients w.r.t. B and w.r.t. the per-edge values must match the
+    # dense formulation (VERDICT r2 #6 — edge values were baked into the
+    # plan and had no gradient).
+    from gespmm_tpu.parallel.halo import (
+        build_halo_partition, halo_spmm, pad_for_halo, split_edge_values,
+    )
+
+    nd = 4
+    csr, mat = random_csr(64, 64, density=0.12, seed=13)
+    hp = build_halo_partition(csr, nd, tiled=True)
+    mesh = make_mesh(data=nd, model=1, devices=jax.devices()[:nd])
+    rng = np.random.default_rng(13)
+    B = rng.standard_normal((64, 16)).astype(np.float32)
+    vals = rng.standard_normal(csr.nnz).astype(np.float32)
+    Bd = jax.device_put(pad_for_halo(hp, jnp.asarray(B)),
+                        NamedSharding(mesh, P("data", None)))
+
+    def loss(v, b):
+        dv, hv = split_edge_values(hp, v)
+        out = halo_spmm(hp, b, mesh, method="tiled", model_axis=None,
+                        diag_vals=dv, halo_vals=hv)
+        return jnp.sum(jnp.sin(out[:64]))
+
+    gv, gb = jax.jit(jax.grad(loss, argnums=(0, 1)))(jnp.asarray(vals), Bd)
+
+    # dense reference
+    indptr = np.asarray(csr.indptr); indices = np.asarray(csr.indices)
+    rows = np.repeat(np.arange(64), np.diff(indptr))
+    def dense_loss(v, b):
+        A = jnp.zeros((64, 64)).at[rows, indices].set(v)
+        return jnp.sum(jnp.sin(A @ b))
+    gv_ref, gb_ref = jax.grad(dense_loss, argnums=(0, 1))(
+        jnp.asarray(vals), jnp.asarray(B))
+    np.testing.assert_allclose(np.asarray(gv), np.asarray(gv_ref),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gb)[:64], np.asarray(gb_ref),
+                               rtol=1e-4, atol=1e-4)
+    # values must also change the forward (not just grads)
+    dv, hv = split_edge_values(hp, jnp.asarray(vals))
+    outv = jax.jit(lambda b: halo_spmm(hp, b, mesh, method="tiled",
+                                       model_axis=None, diag_vals=dv,
+                                       halo_vals=hv))(Bd)
+    A = np.zeros((64, 64), np.float32); A[rows, indices] = vals
+    np.testing.assert_allclose(np.asarray(outv)[:64], A @ B, rtol=1e-4,
+                               atol=1e-4)
+
+
+def test_halo_baked_edge_values_still_work_tiled():
+    # Values present at partition time flow through the runtime-fetch
+    # path (no baking) and still match the weighted dense product.
+    from gespmm_tpu.parallel.halo import (
+        build_halo_partition, halo_spmm, pad_for_halo,
+    )
+
+    nd = 4
+    csr, mat = random_csr(48, 48, density=0.15, seed=17)
+    vals = np.random.default_rng(17).standard_normal(csr.nnz).astype(
+        np.float32)
+    wcsr = csr.with_data(jnp.asarray(vals))
+    hp = build_halo_partition(wcsr, nd, tiled=True)
+    mesh = make_mesh(data=nd, model=1, devices=jax.devices()[:nd])
+    B = np.random.default_rng(18).standard_normal((48, 8)).astype(np.float32)
+    Bd = jax.device_put(pad_for_halo(hp, jnp.asarray(B)),
+                        NamedSharding(mesh, P("data", None)))
+    out = jax.jit(lambda b: halo_spmm(hp, b, mesh, method="tiled",
+                                      model_axis=None))(Bd)
+    indptr = np.asarray(csr.indptr); indices = np.asarray(csr.indices)
+    rows = np.repeat(np.arange(48), np.diff(indptr))
+    A = np.zeros((48, 48), np.float32); A[rows, indices] = vals
+    np.testing.assert_allclose(np.asarray(out)[:48], A @ B, rtol=1e-4,
+                               atol=1e-4)
