@@ -64,7 +64,7 @@ def _reduce_kernel(
     group: int,
     op: str = "sum",
 ):
-    kt, cg = pl.program_id(0), pl.program_id(1)
+    cg = pl.program_id(0)
     R = rows_per_block
     init_val = {"sum": 0.0, "max": -jnp.inf, "min": jnp.inf}[op]
 
@@ -205,43 +205,55 @@ def _reduce_part(
     # only be 4-aligned.
     G = 16 if C % 16 == 0 else (4 if C % 4 == 0 else 1)
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,  # row_start
-        grid=(n_k, C // G),
-        in_specs=[
-            pl.BlockSpec((G, 1, E), lambda kt, cg, rs: (cg, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((G * E, k_tile), lambda kt, cg, rs: (cg, kt),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (m_pad, k_tile), lambda kt, cg, rs: (0, kt),
-            memory_space=pltpu.VMEM,
-        ),
-    )
     kernel = functools.partial(
         _reduce_kernel, rows_per_block=rows_per_block, mode=mode, group=G,
         op=op,
     )
     passes = {"highest": 6, "trilo": 3, "hilo": 2}.get(mode, 1)
-    return pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((m_pad, K_pad), jnp.float32),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary"),
-            # The resident accumulator (m_pad x k_tile) plus streamed chunk
-            # buffers exceed the 16MB default scoped-vmem limit; v5e has
-            # 128MB physical VMEM.
-            vmem_limit_bytes=112 * 1024 * 1024,
-        ),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * C * rows_per_block * E * K_pad * passes,
-            bytes_accessed=C * E * K_pad * 4 + m_pad * K_pad * 4,
-            transcendentals=0,
-        ),
-        interpret=interpret,
-    )(row_start, local_rows.reshape(C, 1, E), contrib)
+    lr3 = local_rows.reshape(C, 1, E)
+    # One pallas_call per K tile, with the tile offset closed over
+    # STATICALLY: the output window's index map is then constant across
+    # the whole grid, so Mosaic keeps the resident accumulator
+    # single-buffered at the full VMEM budget.  (With K folded into the
+    # grid the window's index map varied with the K step and Pallas
+    # double-buffered it — that halved the budget and collapsed the
+    # K=512 roofline fractions to 0.10-0.34 in round 2.)
+    outs = []
+    for kti in range(n_k):
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,  # row_start
+            grid=(C // G,),
+            in_specs=[
+                pl.BlockSpec((G, 1, E), lambda cg, rs: (cg, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((G * E, k_tile),
+                             lambda cg, rs, _k=kti: (cg, _k),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (m_pad, k_tile), lambda cg, rs: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        )
+        outs.append(pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((m_pad, k_tile), jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
+                # The resident accumulator (m_pad x k_tile) plus streamed
+                # chunk buffers exceed the 16MB default scoped-vmem limit;
+                # v5e has 128MB physical VMEM.
+                vmem_limit_bytes=112 * 1024 * 1024,
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * C * rows_per_block * E * k_tile * passes,
+                bytes_accessed=C * E * k_tile * 4 + m_pad * k_tile * 4,
+                transcendentals=0,
+            ),
+            interpret=interpret,
+        )(row_start, lr3, contrib))
+    return outs[0] if n_k == 1 else jnp.concatenate(outs, axis=1)
 
 
 def _gather_part(
@@ -321,17 +333,14 @@ def spmm_tiled(
     kt_max = max(128, (kt_max // 128) * 128)
     if K <= kt_max:
         # Single pass at the exact width — Pallas allows a block dim equal
-        # to the full array dim, so narrow K (e.g. 32) needs NO padding;
-        # with one K step the resident accumulator is single-buffered.
+        # to the full array dim, so narrow K (e.g. 32) needs NO padding.
         K_pad = K
     else:
-        # Multi-pass: the output window's index map varies with the K
-        # step, so Pallas DOUBLE-BUFFERS the resident accumulator — the
-        # per-buffer budget halves.  kt_max must be a multiple of 128:
-        # the fitting loop below steps by 128 (a non-multiple k_tile
-        # would never divide K_pad and loop forever).
-        kt_max = min(k_tile, max(128, (budget_rows // 2 // 128) * 128))
-        kt_max = max(128, (kt_max // 128) * 128)
+        # Multi-pass: one pallas_call per K tile (static offsets), so the
+        # resident accumulator stays single-buffered at every tile — no
+        # budget halving.  kt_max must be a multiple of 128: the fitting
+        # loop below steps by 128 (a non-multiple k_tile would never
+        # divide K_pad and loop forever).
         K_pad = _round_up(K, 128)
         if K_pad != K:
             Bc = jnp.pad(Bc, ((0, 0), (0, K_pad - K)))
@@ -407,15 +416,14 @@ def edge_segment_reduce(
 def _fit_kt(plan: TiledSpmmPlan, K: int, k_tile: int = 512):
     """(K_pad, kt): feature padding + per-pass tile width such that the
     largest part's resident accumulator stays within the VMEM budget
-    (halved when K needs multiple passes — the window double-buffers)."""
+    (single-buffered at every K tile — each tile is its own pallas_call
+    with a static offset)."""
     m_pad_max = max(p.m_pad for p in plan.parts)
     budget_rows = (64 * 1024 * 1024) // max(m_pad_max * 4, 1)
     kt_max = min(k_tile, max(128, (budget_rows // 128) * 128))
     kt_max = max(128, (kt_max // 128) * 128)
     if K <= kt_max:
         return K, K
-    kt_max = min(k_tile, max(128, (budget_rows // 2 // 128) * 128))
-    kt_max = max(128, (kt_max // 128) * 128)
     K_pad = _round_up(K, 128)
     kt = min(kt_max, K_pad)
     while K_pad % kt:

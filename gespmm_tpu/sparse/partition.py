@@ -498,9 +498,9 @@ def build_tiled_plan(
     E = int(chunk_nnz)
     # The reduce kernel's resident accumulator is m_pad x k_tile x 4B and
     # k_tile cannot go below min(K, 128); clamp the part size so a 128-wide
-    # pass fits the accumulator budget.  When K needs multiple passes the
-    # window double-buffers, so the budget halves.
-    acc_budget = (64 << 20) if k_hint <= 128 else (48 << 20) // 2
+    # pass fits the accumulator budget (single-buffered at every K tile —
+    # the kernel issues one pallas_call per tile with a static offset).
+    acc_budget = 64 << 20
     part_rows = min(part_rows, (acc_budget // (4 * 128) // 8) * 8)
     auto_layout = col_tile is None
     if col_tile is None:

@@ -11,3 +11,6 @@ python -m gespmm_tpu.bench.gcn_bench --dataset pubmed --n-epochs 100 --log-every
 python -m gespmm_tpu.bench.sage_bench --dataset pubmed --n-epochs 100 --aggregator-type mean --log-every 0
 python -m gespmm_tpu.bench.sage_bench --dataset pubmed --n-epochs 100 --aggregator-type pool --log-every 0
 python -m gespmm_tpu.bench.gat_bench --dataset pubmed --n-epochs 100 --log-every 0
+# Compiled-kernel gate on the bench chip (opt-in elsewhere: plain pytest
+# skips it so the CPU suite stays fast).
+GESPMM_RUN_TPU_GATE=1 python -m pytest tests/test_tpu_compiled.py -q

@@ -2,6 +2,7 @@
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from gespmm_tpu.ops import reference as ref
 from gespmm_tpu.ops.interop import bcoo_spmm_baseline, csr_from_bcoo, csr_to_bcoo
@@ -37,6 +38,7 @@ def test_scatter_formulation_matches_gather():
     np.testing.assert_allclose(np.asarray(gather), mat @ B, **TOL)
 
 
+@pytest.mark.slow
 def test_adjacency_matrix_quacks_like_bcoo():
     import jax
     import jax.numpy as jnp

@@ -163,6 +163,7 @@ def test_checkpoint_rejects_structure_mismatch(tmp_path):
     np.testing.assert_array_equal(got["w"], state["w"])
 
 
+@pytest.mark.slow
 def test_accuracy_parity_ours_vs_bcoo_same_seed(tmp_path):
     """Cross-implementation accuracy A/B (the reference's only user-facing
     test is training-accuracy parity, `gcn_pyg.py` vs `gcn_custom.py`):

@@ -158,6 +158,7 @@ def test_spmm_scatter_method_matches_xla():
     np.testing.assert_allclose(np.asarray(out), mat @ B, rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_sddmm_tiled_tier_and_strictness():
     import jax.numpy as jnp
     import numpy as np
@@ -193,6 +194,7 @@ def test_sddmm_tiled_tier_and_strictness():
         sddmm(csr, D1, D2, method="tiled")
 
 
+@pytest.mark.slow
 def test_edge_softmax_stream_path_matches_xla_and_grads():
     import jax
     import jax.numpy as jnp

@@ -19,7 +19,8 @@ TOL = dict(rtol=1e-4, atol=1e-4)  # hilo mode: ~1e-5 relative per element
 @pytest.mark.parametrize(
     "shape,density,ct,rp,E,pr",
     [
-        ((60, 50), 0.15, 16, 8, 8, 24),       # many tiles, many parts
+        pytest.param((60, 50), 0.15, 16, 8, 8, 24,
+                     marks=pytest.mark.slow),  # many tiles, many parts
         ((100, 90), 0.05, 32, 16, 16, 1 << 20),  # single part
         ((64, 64), 0.1, 1 << 20, 16, 16, 1 << 20),  # single tile
     ],
@@ -198,8 +199,10 @@ def _dense_minmax(mat, B, op):
 @pytest.mark.parametrize(
     "shape,density,ct,rp,E,pr,binary",
     [
-        ((60, 50), 0.15, 16, 8, 8, 24, False),   # many tiles, many parts
-        ((64, 64), 0.1, 1 << 20, 16, 16, 1 << 20, False),  # single tile
+        pytest.param((60, 50), 0.15, 16, 8, 8, 24, False,
+                     marks=pytest.mark.slow),  # many tiles, many parts
+        pytest.param((64, 64), 0.1, 1 << 20, 16, 16, 1 << 20, False,
+                     marks=pytest.mark.slow),  # single tile
         ((48, 40), 0.12, 16, 8, 8, 16, True),    # binary adjacency
     ],
 )
@@ -222,6 +225,7 @@ def test_spmm_tiled_minmax_interpret(op, shape, density, ct, rp, E, pr, binary):
     np.testing.assert_allclose(np.asarray(out), golden, rtol=1e-6, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_spmm_tiled_minmax_powerlaw_long_runs():
     # Hub rows span many chunks; the per-chunk scan + cross-chunk fold
     # must still produce the exact row max.
@@ -255,6 +259,7 @@ def test_spmm_max_dispatches_tiled_and_matches_xla():
 
 
 @pytest.mark.parametrize("op", ["max", "min"])
+@pytest.mark.slow
 def test_spmm_tiled_minmax_grad_matches_dense(op):
     csr, mat = random_csr(40, 36, density=0.1, seed=24)
     adj = Adjacency.from_csr(csr, plan=True, col_tile=16, rows_per_block=8,
@@ -282,6 +287,7 @@ def test_spmm_tiled_minmax_grad_matches_dense(op):
                                atol=1e-5)
 
 
+@pytest.mark.slow
 def test_spmm_tiled_max_edge_value_grad():
     # d(loss)/d(edge values) through the tiled max backward vs the XLA
     # reference backward (same tie-splitting semantics).

@@ -120,6 +120,12 @@ print("GATE PASSED", flush=True)
 def _tpu_alive() -> bool:
     if os.environ.get("GESPMM_SKIP_TPU_GATE"):
         return False
+    if not os.environ.get("GESPMM_RUN_TPU_GATE"):
+        # Opt-in only (VERDICT r2 #10): the reachability probe alone can
+        # burn 600s when the chip is tunneled-but-wedged, which made plain
+        # `pytest tests/` unusable.  run_bench.sh sets the flag so the
+        # gate still runs on the bench chip every sweep.
+        return False
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)
     try:
@@ -134,7 +140,10 @@ def _tpu_alive() -> bool:
 
 def test_compiled_kernels_match_scipy_on_tpu():
     if not _tpu_alive():
-        pytest.skip("no healthy TPU backend reachable")
+        pytest.skip(
+            "TPU gate is opt-in: set GESPMM_RUN_TPU_GATE=1 (and have a "
+            "healthy TPU backend reachable)"
+        )
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)
     r = subprocess.run(
