@@ -94,7 +94,7 @@ def _edge_softmax_xla(rows, logits2d, m):
     mx = jnp.where(jnp.isfinite(mx), mx, 0.0)
     ex = jnp.exp(logits2d - jnp.take(mx, rows, axis=0))
     denom = jax.ops.segment_sum(ex, rows, num_segments=m)
-    return ex / jnp.maximum(jnp.take(denom, rows, axis=0), 1e-38)
+    return ex / jnp.maximum(jnp.take(denom, rows, axis=0), 1e-20)
 
 
 @jax.custom_vjp
@@ -121,7 +121,7 @@ def _edge_softmax_core(adj: Adjacency, logits2d: Array) -> Array:
         mx = edge_segment_reduce(adj.plan, logits2d, "max")
         ex = jnp.exp(logits2d - jnp.take(mx, rows, axis=0))
         denom = edge_segment_reduce(adj.plan, ex, "sum")
-        return ex / jnp.maximum(jnp.take(denom, rows, axis=0), 1e-38)
+        return ex / jnp.maximum(jnp.take(denom, rows, axis=0), 1e-20)
     return _edge_softmax_xla(rows, logits2d, m)
 
 

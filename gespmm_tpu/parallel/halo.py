@@ -667,6 +667,44 @@ def split_edge_values(hp: HaloPartition, vals: Array):
 # ---------------------------------------------------------------------------
 
 
+def make_exchange(hp: HaloPartition, axis: str):
+    """Build the per-shard ragged halo-exchange closure (for shard_map
+    bodies): gather all send rows once, then one ppermute per nonzero
+    round (r ships q -> (q+r)%P).  The received blocks concatenate in
+    round order — exactly the halo CSR's column layout.  Local compute
+    has no data dependency on any round, so XLA overlaps it with the
+    whole schedule.  Shared by halo_spmm and the sharded edge ops
+    (`parallel.edge_ops`) so SDDMM/attention ride the identical
+    schedule.  Differentiable (take + ppermute both transpose)."""
+    Pn = hp.num_parts
+    rounds = hp.rounds
+    halo_tbl_rows = hp.halo_rows
+    round_off = {}
+    off = 0
+    for r, h in rounds:
+        round_off[r] = off
+        off += h
+
+    def exchange(send_idx, B_shard):
+        K = B_shard.shape[1]
+        if not rounds:
+            return jnp.zeros((halo_tbl_rows, K), B_shard.dtype)
+        req = jnp.take(B_shard, send_idx, axis=0)
+        blocks = []
+        for r, h in rounds:
+            o = round_off[r]
+            perm = [(q, (q + r) % Pn) for q in range(Pn)]
+            blocks.append(
+                jax.lax.ppermute(req[o : o + h], axis, perm=perm)
+            )
+        out = blocks[0] if len(blocks) == 1 else jnp.concatenate(blocks, 0)
+        if out.shape[0] < halo_tbl_rows:
+            out = jnp.pad(out, ((0, halo_tbl_rows - out.shape[0]), (0, 0)))
+        return out
+
+    return exchange
+
+
 def _local_block_spmm(indptr, indices, data, mask, table, rows, reduce):
     """One local block (diag or halo) via the XLA tier; phantom-row
     padding keeps sentinel slots out of every monoid."""
@@ -738,35 +776,7 @@ def halo_spmm(
     hvals = halo_vals if rt_vals else hp.halo_data
     has_dd = dvals is not None
     has_hd = hvals is not None
-    halo_tbl_rows = hp.halo_rows
-    rounds = hp.rounds
-    round_off = {}
-    off = 0
-    for r, h in rounds:
-        round_off[r] = off
-        off += h
-
-    def exchange(send_idx, B_shard):
-        """Ragged exchange: gather all send rows once, then one ppermute
-        per nonzero round (r ships q -> (q+r)%P).  The received blocks
-        concatenate in round order — exactly the halo CSR's column
-        layout.  The diagonal SpMM has no data dependency on any round,
-        so XLA overlaps it with the whole schedule."""
-        K = B_shard.shape[1]
-        if not rounds:
-            return jnp.zeros((halo_tbl_rows, K), B_shard.dtype)
-        req = jnp.take(B_shard, send_idx, axis=0)
-        blocks = []
-        for r, h in rounds:
-            o = round_off[r]
-            perm = [(q, (q + r) % Pn) for q in range(Pn)]
-            blocks.append(
-                jax.lax.ppermute(req[o : o + h], axis, perm=perm)
-            )
-        out = blocks[0] if len(blocks) == 1 else jnp.concatenate(blocks, 0)
-        if out.shape[0] < halo_tbl_rows:
-            out = jnp.pad(out, ((0, halo_tbl_rows - out.shape[0]), (0, 0)))
-        return out
+    exchange = make_exchange(hp, axis)
 
     def body_xla(send_idx, dip, dii, dd, dm, hip, hii, hd, hm, deg, B_shard):
         halo_tbl = exchange(send_idx[0], B_shard)

@@ -124,3 +124,105 @@ def build_sharded_gcn(
         return params, opt_state, loss
 
     return train_step, (params, opt_state), prepare_inputs, hp
+
+
+def build_sharded_gat(
+    csr,
+    feat_dim: int,
+    hidden: int,
+    classes: int,
+    mesh: Mesh,
+    heads: int = 1,
+    lr: float = 5e-3,
+    seed: int = 0,
+):
+    """Sharded 2-layer GAT training step — attention ALL the way through
+    the mesh (SURVEY §2.3 extended): per-edge logits, softmax, and the
+    alpha-weighted aggregate run under shard_map via `parallel.edge_ops`,
+    with gradients flowing through the reverse collectives.  The
+    distributed regime the reference never had for its SDDMM surface
+    (`pytorch-custom/sddmm.cpp:63-68`).
+
+    Returns (train_step, init_state, prepare_inputs, halo_partition).
+    Attention alphas feed `halo_spmm`'s RUNTIME edge values, so the
+    stream-kernel tiled tier carries the weighted aggregate when plans
+    exist.
+    """
+    from gespmm_tpu.parallel.edge_ops import (
+        halo_additive_logits, halo_edge_softmax,
+    )
+
+    data_axis = mesh.shape["data"]
+    if csr.shape[0] != csr.shape[1]:
+        raise ValueError("build_sharded_gat needs a square adjacency")
+    hp = build_halo_partition(csr, data_axis, tiled=True)
+    m_pad = hp.num_parts * hp.rpp
+
+    key = jax.random.PRNGKey(seed)
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    params = {
+        "l1": dense_init(k1, feat_dim, hidden * heads),
+        "att": {
+            "src": 0.1 * jax.random.normal(k3, (hidden * heads, heads)),
+            "dst": 0.1 * jax.random.normal(k4, (hidden * heads, heads)),
+        },
+        "l2": dense_init(k2, hidden * heads, classes),
+    }
+    opt = optax.adamw(lr)
+    opt_state = opt.init(params)
+
+    def prepare_inputs(x, labels, mask):
+        def pad_rows(a):
+            return jnp.pad(
+                a, ((0, m_pad - a.shape[0]),) + ((0, 0),) * (a.ndim - 1)
+            )
+
+        x = jax.device_put(
+            pad_rows(x), NamedSharding(mesh, P("data", None))
+        )
+        labels = jax.device_put(
+            pad_rows(labels), NamedSharding(mesh, P("data"))
+        )
+        mask = jax.device_put(
+            pad_rows(mask), NamedSharding(mesh, P("data"))
+        )
+        return x, labels, mask
+
+    def attention_layer(h, a_src, a_dst):
+        """One attention head-block: alphas per head, head-sliced
+        aggregates, concatenated back.  h: (m_pad, heads*dh)."""
+        dl, hl = halo_additive_logits(
+            hp, h @ a_src, h @ a_dst, mesh
+        )
+        dl = jax.nn.leaky_relu(dl, 0.2)
+        hl = jax.nn.leaky_relu(hl, 0.2)
+        ad, ah = halo_edge_softmax(hp, dl, hl, mesh)
+        dh = h.shape[1] // heads
+        outs = []
+        for hd in range(heads):
+            outs.append(halo_spmm(
+                hp, h[:, hd * dh : (hd + 1) * dh], mesh,
+                diag_vals=ad[..., hd], halo_vals=ah[..., hd],
+                model_axis=None,
+            ))
+        return outs[0] if heads == 1 else jnp.concatenate(outs, axis=1)
+
+    def forward(params, x):
+        h = x @ params["l1"]["w"] + params["l1"]["b"]
+        h = attention_layer(h, params["att"]["src"], params["att"]["dst"])
+        h = jax.nn.elu(h)
+        logits = h @ params["l2"]["w"] + params["l2"]["b"]
+        return halo_spmm(hp, logits, mesh, reduce="mean", model_axis=None)
+
+    def loss_fn(params, x, labels, mask):
+        lp = jax.nn.log_softmax(forward(params, x), axis=-1)
+        return masked_nll_loss(lp, labels, mask)
+
+    @jax.jit
+    def train_step(params, opt_state, x, labels, mask):
+        loss, grads = jax.value_and_grad(loss_fn)(params, x, labels, mask)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return train_step, (params, opt_state), prepare_inputs, hp
