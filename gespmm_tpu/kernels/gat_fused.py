@@ -1,0 +1,261 @@
+"""Fused slot-space GAT attention: logits -> softmax -> weighted SpMM.
+
+Round-2 measured the GAT epoch wall at 26.9 ms on pubmed — dominated not
+by FLOPs but by the edge chain's *layout churn*: every op (additive
+logits, leaky-relu, edge softmax, alpha-weighted SpMM) exchanged
+nnz-length arrays in CSR order, so each stream-kernel pass paid a
+CSR->slot permute on entry (~6 ns/edge scatter/gather), plus separate
+max / normalizer / aggregate passes.
+
+This module computes the ENTIRE attention layer in the tiled plan's slot
+order; per-edge quantities are only ever *materialized* in slot space,
+and the few node-space arrays (row max, denominator, rowdot) are small
+(m x 1).  Two stream passes forward:
+
+  1. row max   m_r   = max_e leaky(src[r_e] + dst[c_e])     (K=1 reduce)
+  2. aggregate [out_w | d]_r = sum_e z_e * [B[c_e] | 1]     (K+1 reduce)
+     with z_e = exp(l_e - m_r) recomputed per slot; out = out_w / d.
+
+The denominator rides the aggregate as an extra ones-column — the
+softmax normalizer costs zero extra passes.  Backward is two more
+passes, using the softmax-attention identity s_r = <g_r, out_r>:
+
+  dl_e      = alpha_e (g[r_e]·B[c_e] - s_{r_e})
+  d src[r]  = sum_{e: r_e=r} dl_e · leaky'(pre_e)            (plan)
+  [dB | d dst]_c = sum_{e: c_e=c} [alpha_e g[r_e] | dl_e·leaky'] (plan_t)
+
+where every per-edge factor (pre, z, alpha, dl) is RECOMPUTED in the
+consuming plan's own slot order from node-space tables — no edge-order
+permutes anywhere, forward or backward.
+
+Reference parity: composes the SDDMM-consumer chain the reference
+exposes but never exploits (`pytorch-custom/sddmm.cpp:63-68`); the
+fusion itself has no reference counterpart (their SDDMM is
+forward-only).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from gespmm_tpu.kernels.spmm_stream import (
+    _fit_kt,
+    _pad_cols,
+    _part_rows_slice,
+    _reduce_part,
+    _slot_rows,
+    _tile_gather,
+)
+from gespmm_tpu.sparse.partition import TiledSpmmPlan
+
+Array = jax.Array
+
+# exp() argument floor: arguments are <= 0 by construction (l <= row max);
+# below -80 the result underflows past 1.8e-35 — clamping avoids both the
+# useless subnormal range and XLA:CPU's vectorized-exp NaN on huge
+# negative inputs (see parallel/edge_ops.py).
+_EXP_FLOOR = -80.0
+# Denominator guard must be a NORMAL f32 (1e-38 is subnormal; FTZ turns
+# it into 0/0=NaN).  Any row with a valid edge has d >= exp(0) = 1, so
+# the guard only serves empty rows.
+_DENOM_EPS = 1e-20
+
+
+def _leaky(x, slope):
+    return jnp.where(x >= 0, x, slope * x)
+
+
+def _dleaky(x, slope):
+    return jnp.where(x >= 0, 1.0, slope)
+
+
+def _slot_pre(part, src_pad, dst_pad):
+    """Per-slot pre-activation logits src[r_e] + dst[c_e], both gathers
+    hitting VMEM-sized tables (src sliced per part, dst per column
+    tile).  (S, 1) f32."""
+    s_slot = jnp.take(_part_rows_slice(part, src_pad), _slot_rows(part),
+                      axis=0)
+    d_slot = _tile_gather(part, dst_pad)
+    return s_slot + d_slot
+
+
+def _row_pad(X: Array, rows: int) -> Array:
+    if X.shape[0] >= rows:
+        return X[:rows]
+    return jnp.pad(X, ((0, rows - X.shape[0]),) + ((0, 0),) * (X.ndim - 1))
+
+
+def _forward(plan, src2, dst2, B, slope, interpret):
+    m, n = plan.shape
+    K = B.shape[1]
+    src_pad = src2.astype(jnp.float32)
+    dst_pad = dst2.astype(jnp.float32)
+    B32 = B.astype(jnp.float32)
+
+    # Pass 1: per-row logit max (K=1 stream).
+    mx_parts = []
+    for part in plan.parts:
+        l = _leaky(_slot_pre(part, src_pad, dst_pad), slope)
+        mp = _reduce_part(
+            l, part.local_rows, part.row_start, part.m_pad,
+            part.rows_per_block, 1, "trilo", interpret, op="max",
+        )
+        mx_parts.append(mp[: part.m_part])
+    mx = (mx_parts[0] if len(mx_parts) == 1
+          else jnp.concatenate(mx_parts, 0))[:m]
+    mx = jnp.where(jnp.isfinite(mx), mx, 0.0)  # empty rows
+
+    # Pass 2: z-weighted aggregate with the denominator as column K.
+    K_pad, kt = _fit_kt(plan, K + 1)
+    Bc = _pad_cols(B32, K_pad - 1) if K_pad - 1 > K else B32
+    out_parts, den_parts = [], []
+    for part in plan.parts:
+        pre = _slot_pre(part, src_pad, dst_pad)
+        l = _leaky(pre, slope)
+        m_slot = jnp.take(_part_rows_slice(part, mx), _slot_rows(part),
+                          axis=0)
+        z = jnp.exp(jnp.maximum(l - m_slot, _EXP_FLOOR))  # (S, 1)
+        gb = _tile_gather(part, Bc)  # (S, K_pad-1)
+        stream = jnp.concatenate([gb * z, z], axis=1)  # (S, K_pad)
+        res = _reduce_part(
+            stream, part.local_rows, part.row_start, part.m_pad,
+            part.rows_per_block, kt, "trilo", interpret, op="sum",
+        )
+        out_parts.append(res[: part.m_part, :K])
+        den_parts.append(res[: part.m_part, K_pad - 1 : K_pad])
+    out_w = (out_parts[0] if len(out_parts) == 1
+             else jnp.concatenate(out_parts, 0))[:m]
+    den = (den_parts[0] if len(den_parts) == 1
+           else jnp.concatenate(den_parts, 0))[:m]
+    den = jnp.maximum(den, _DENOM_EPS)
+    out = out_w / den
+    return out, mx, den
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _gat_core(slope, interpret, plan, plan_t, src2, dst2, B):
+    out, _, _ = _forward(plan, src2, dst2, B, slope, interpret)
+    return out.astype(B.dtype)
+
+
+def _gat_fwd(slope, interpret, plan, plan_t, src2, dst2, B):
+    out, mx, den = _forward(plan, src2, dst2, B, slope, interpret)
+    out = out.astype(B.dtype)
+    return out, (plan, plan_t, src2, dst2, B, out, mx, den)
+
+
+def _gat_bwd(slope, interpret, res, g):
+    plan, plan_t, src2, dst2, B, out, mx, den = res
+    m, n = plan.shape
+    K = B.shape[1]
+    src_pad = src2.astype(jnp.float32)
+    dst_pad = dst2.astype(jnp.float32)
+    B32 = B.astype(jnp.float32)
+    g32 = g.astype(jnp.float32)
+    out32 = out.astype(jnp.float32)
+    # Softmax-attention identity: the alpha-weighted row sum of per-edge
+    # u_e = g·B equals <g_r, out_r> — no extra stream pass needed.
+    s_row = jnp.sum(g32 * out32, axis=-1, keepdims=True)  # (m, 1)
+
+    # Pass 3 (plan): d src_score — edge cotangent recomputed per slot.
+    gsrc_parts = []
+    for part in plan.parts:
+        pre = _slot_pre(part, src_pad, dst_pad)
+        l = _leaky(pre, slope)
+        rows = _slot_rows(part)
+        m_slot = jnp.take(_part_rows_slice(part, mx), rows, axis=0)
+        d_slot = jnp.take(_part_rows_slice(part, den), rows, axis=0)
+        s_slot = jnp.take(_part_rows_slice(part, s_row), rows, axis=0)
+        alpha = jnp.exp(jnp.maximum(l - m_slot, _EXP_FLOOR)) / d_slot
+        g_slot = jnp.take(_part_rows_slice(part, g32), rows, axis=0)
+        u = jnp.sum(g_slot * _tile_gather(part, B32), axis=-1,
+                    keepdims=True)
+        dpre = alpha * (u - s_slot) * _dleaky(pre, slope)
+        gp = _reduce_part(
+            dpre, part.local_rows, part.row_start, part.m_pad,
+            part.rows_per_block, 1, "trilo", interpret, op="sum",
+        )
+        gsrc_parts.append(gp[: part.m_part])
+    grad_src = (gsrc_parts[0] if len(gsrc_parts) == 1
+                else jnp.concatenate(gsrc_parts, 0))[:m]
+
+    # Pass 4 (plan_t): [dB | d dst_score] in one K+1-wide reduce.
+    # In transpose slot space the "rows" are original columns and the
+    # tile gathers index original rows — every factor recomputed from
+    # the node tables, no permutes.
+    K_pad, kt = _fit_kt(plan_t, K + 1)
+    gc = _pad_cols(g32, K_pad - 1) if K_pad - 1 > K else g32
+    gB_parts, gdst_parts = [], []
+    for part in plan_t.parts:
+        rows_t = _slot_rows(part)
+        dstp = jnp.take(_part_rows_slice(part, dst_pad), rows_t, axis=0)
+        srcp = _tile_gather(part, src_pad)
+        pre = srcp + dstp
+        l = _leaky(pre, slope)
+        m_slot = _tile_gather(part, mx)
+        d_slot = _tile_gather(part, den)
+        s_slot = _tile_gather(part, s_row)
+        alpha = jnp.exp(jnp.maximum(l - m_slot, _EXP_FLOOR)) / d_slot
+        b_slot = jnp.take(_part_rows_slice(part, B32), rows_t, axis=0)
+        g_slot = _tile_gather(part, gc)
+        u = jnp.sum(g_slot[:, :K] * b_slot, axis=-1, keepdims=True)
+        dpre = alpha * (u - s_slot) * _dleaky(pre, slope)
+        stream = jnp.concatenate([alpha * g_slot, dpre], axis=1)
+        res_p = _reduce_part(
+            stream, part.local_rows, part.row_start, part.m_pad,
+            part.rows_per_block, kt, "trilo", interpret, op="sum",
+        )
+        gB_parts.append(res_p[: part.m_part, :K])
+        gdst_parts.append(res_p[: part.m_part, K_pad - 1 : K_pad])
+    grad_B = (gB_parts[0] if len(gB_parts) == 1
+              else jnp.concatenate(gB_parts, 0))[:n]
+    grad_dst = (gdst_parts[0] if len(gdst_parts) == 1
+                else jnp.concatenate(gdst_parts, 0))[:n]
+    return (None, None, grad_src.astype(src2.dtype),
+            grad_dst.astype(dst2.dtype), grad_B.astype(B.dtype))
+
+
+_gat_core.defvjp(_gat_fwd, _gat_bwd)
+
+
+def gat_attention_aggregate(
+    adj,
+    src_score: Array,
+    dst_score: Array,
+    B: Array,
+    *,
+    negative_slope: float = 0.2,
+    interpret: Optional[bool] = None,
+) -> Array:
+    """out[r] = Σ_c softmax_c(leaky(src[r]+dst[c])) · B[c] over the edge
+    pattern — the whole GATv1 attention layer as one fused op.
+
+    Needs an ``Adjacency`` with tiled plans (``plan=True``).
+    ``src_score``: (m,) or (m, 1); ``dst_score``: (n,) or (n, 1);
+    ``B``: (n, K).  Single-head; multi-head models loop heads.
+    Differentiable w.r.t. all three tensors (custom VJP above).
+    """
+    plan, plan_t = adj.plan, adj.plan_t
+    if not (isinstance(plan, TiledSpmmPlan)
+            and isinstance(plan_t, TiledSpmmPlan)):
+        raise ValueError(
+            "gat_attention_aggregate needs Adjacency.from_csr(csr, "
+            "plan=True) (tiled stream plans for both directions)"
+        )
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    src2 = src_score[:, None] if src_score.ndim == 1 else src_score
+    dst2 = dst_score[:, None] if dst_score.ndim == 1 else dst_score
+    if src2.shape != (plan.shape[0], 1) or dst2.shape != (plan.shape[1], 1):
+        raise ValueError(
+            f"score shapes {src_score.shape}/{dst_score.shape} must be "
+            f"({plan.shape[0]},)/({plan.shape[1]},) (single head)"
+        )
+    if B.ndim != 2 or B.shape[0] != plan.shape[1]:
+        raise ValueError(f"B must be ({plan.shape[1]}, K), got {B.shape}")
+    return _gat_core(float(negative_slope), bool(interpret),
+                     plan, plan_t, src2, dst2, B)

@@ -52,10 +52,27 @@ def gat_layer_apply(
     # gathers + per-node segment-sum gradients) rather than as the
     # equivalent rank-2 SDDMM, whose generic VJP runs two K=2 SpMMs
     # (measured ~6 ms/layer on pubmed).
-    from gespmm_tpu.ops.graph import additive_attention_logits
-
     src_score = h @ p["a_src"]  # (n,)
     dst_score = h @ p["a_dst"]
+    from gespmm_tpu.sparse.partition import TiledSpmmPlan
+
+    if (
+        method in ("auto", "tiled")
+        and isinstance(adj.plan, TiledSpmmPlan)
+        and isinstance(adj.plan_t, TiledSpmmPlan)
+    ):
+        # Fused slot-space chain (kernels/gat_fused): 2 stream passes
+        # forward, 2 backward, zero nnz-order permutes — replaces the
+        # separate logits/softmax/weighted-SpMM ops (the round-2 GAT
+        # wall was their CSR<->slot layout churn).
+        from gespmm_tpu.kernels.gat_fused import gat_attention_aggregate
+
+        out = gat_attention_aggregate(
+            adj, src_score, dst_score, h, negative_slope=negative_slope
+        )
+        return out + p["b"]
+    from gespmm_tpu.ops.graph import additive_attention_logits
+
     logits = additive_attention_logits(adj, src_score, dst_score)
     logits = jax.nn.leaky_relu(logits, negative_slope)
     alpha = edge_softmax(adj, logits)
