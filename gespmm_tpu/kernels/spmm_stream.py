@@ -500,7 +500,9 @@ def spmm_minmax_vjp_tiled(
     out32 = out.astype(jnp.float32)
     g32 = g.astype(jnp.float32)
 
-    # Phase 1: tie counts over the forward plan.
+    # Phase 1: tie counts over the forward plan.  The 0/1 indicator
+    # streams as bf16 — exact for 0/1, and the "fast" reduce consumes
+    # bf16 on the MXU anyway — halving this pass's HBM bytes.
     K_pad, kt = _fit_kt(plan, K)
     Bp = _pad_cols(B32, K_pad)
     outp = _pad_cols(out32, K_pad)
@@ -511,7 +513,7 @@ def spmm_minmax_vjp_tiled(
                             axis=0)
         ind = (
             (contrib == out_slot) & _slot_valid(part)[:, None]
-        ).astype(jnp.float32)
+        ).astype(jnp.bfloat16)
         tp = _reduce_part(
             ind, part.local_rows, part.row_start, part.m_pad,
             part.rows_per_block, kt, "fast", interpret, op="sum",
@@ -522,12 +524,14 @@ def spmm_minmax_vjp_tiled(
         else jnp.concatenate(ties_parts, 0)
     )[: out.shape[0], :K]
 
-    # Phase 2: weight stream over the transpose plan.
+    # Phase 2: weight stream over the transpose plan.  g/ties is folded
+    # into ONE row-space table up front, so the per-slot weight needs a
+    # single tile-gather where round 2 paid two (g AND ties).
+    g_over_ties = g32 / jnp.maximum(ties, 1.0)
     K_pad_t, kt_t = _fit_kt(plan_t, K)
     Bpt = _pad_cols(B32, K_pad_t)
     outpt = _pad_cols(out32, K_pad_t)
-    gpt = _pad_cols(g32, K_pad_t)
-    tiespt = _pad_cols(ties, K_pad_t)
+    gtpt = _pad_cols(g_over_ties, K_pad_t)
     grad_parts = []
     gd = None if data is None else jnp.zeros((nnz + 1,), jnp.float32)
     for part in plan_t.parts:
@@ -539,11 +543,10 @@ def spmm_minmax_vjp_tiled(
                           axis=0)
         contrib = b_slot if vals_slot is None else b_slot * vals_slot[:, None]
         out_slot = _tile_gather(part, outpt)
-        g_slot = _tile_gather(part, gpt)
-        ties_slot = _tile_gather(part, tiespt)
+        gt_slot = _tile_gather(part, gtpt)
         valid = _slot_valid(part)
         eq = (contrib == out_slot) & valid[:, None]
-        w = jnp.where(eq, g_slot / jnp.maximum(ties_slot, 1.0), 0.0)
+        w = jnp.where(eq, gt_slot, 0.0)
         stream = w if vals_slot is None else w * vals_slot[:, None]
         gb = _reduce_part(
             stream, part.local_rows, part.row_start, part.m_pad,
