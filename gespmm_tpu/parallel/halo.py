@@ -30,8 +30,14 @@ Structure per shard (row slab p):
   * A_halo: remote columns, remapped into the received halo table
     [0, ΣH_r) at position (round_offset[(p-q)%P] + rank-in-need-set).
   out_p = A_diag @ B_p  +  A_halo @ halo_p
-The diagonal SpMM has no dependency on the collective, so XLA overlaps it
-with the exchange.  Backward is fully automatic for the XLA tier
+The diagonal SpMM takes only B_p — it has NO data dependency on any
+exchange round by construction — which is the precondition XLA's
+latency-hiding scheduler needs to overlap it with the collective on
+hardware (on TPU the sync collective-permute is split into start/done
+pairs and independent compute is scheduled between them; the virtual CPU
+mesh lowers a synchronous collective-permute, so overlap itself is not
+observable there and is NOT asserted — only the dependency structure
+is).  Backward is fully automatic for the XLA tier
 (gather/ppermute/concat all have transposes) and rides a custom-VJP
 tiled kernel pair for the stream tier — including edge-value gradients:
 edge values are RUNTIME arrays fetched through per-slot indices (round 3;
@@ -671,9 +677,10 @@ def make_exchange(hp: HaloPartition, axis: str):
     """Build the per-shard ragged halo-exchange closure (for shard_map
     bodies): gather all send rows once, then one ppermute per nonzero
     round (r ships q -> (q+r)%P).  The received blocks concatenate in
-    round order — exactly the halo CSR's column layout.  Local compute
-    has no data dependency on any round, so XLA overlaps it with the
-    whole schedule.  Shared by halo_spmm and the sharded edge ops
+    round order — exactly the halo CSR's column layout.  Local diag
+    compute has no data dependency on any round (see the module
+    docstring for what that does and does not guarantee about overlap).
+    Shared by halo_spmm and the sharded edge ops
     (`parallel.edge_ops`) so SDDMM/attention ride the identical
     schedule.  Differentiable (take + ppermute both transpose)."""
     Pn = hp.num_parts

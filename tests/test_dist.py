@@ -398,3 +398,66 @@ def test_halo_baked_edge_values_still_work_tiled():
     A = np.zeros((48, 48), np.float32); A[rows, indices] = vals
     np.testing.assert_allclose(np.asarray(out)[:48], A @ B, rtol=1e-4,
                                atol=1e-4)
+
+
+def test_halo_diag_compute_independent_of_collectives():
+    """The overlap *precondition*, asserted on the compiled HLO: the
+    diagonal SpMM's compute (its scatter-adds) must not transitively
+    depend on any collective-permute.  Runtime overlap itself is a TPU
+    latency-hiding-scheduler behavior and unobservable on the virtual
+    CPU mesh (synchronous collective-permute); what we CAN pin down is
+    the data-dependency structure that makes it possible — and that a
+    regression (diag path accidentally consuming the halo table) breaks.
+    """
+    import re
+
+    from gespmm_tpu.parallel.halo import build_halo_partition, halo_spmm
+
+    mesh = make_mesh(data=4, model=1, devices=jax.devices()[:4])
+    csr, _ = powerlaw_csr(96, 96, avg_deg=6, seed=1)
+    hp = build_halo_partition(csr, 4, tiled=False)
+    B = jnp.asarray(
+        np.random.default_rng(0).standard_normal(
+            (4 * hp.cpp, 16)
+        ).astype(np.float32)
+    )
+    B = jax.device_put(B, NamedSharding(mesh, P("data", None)))
+    f = jax.jit(lambda b: halo_spmm(hp, b, mesh, model_axis=None))
+    txt = f.lower(B).compile().as_text()
+
+    # Parse the entry computation's dataflow (fusion operands are listed
+    # at entry level, so the graph is complete for our purpose).
+    entry = txt[txt.index("ENTRY "):]
+    deps, kinds = {}, {}
+    for line in entry.splitlines():
+        m_op = re.match(r"\s*(?:ROOT )?%([\w.-]+) = \S+ ([\w-]+)\(", line)
+        if not m_op:
+            continue
+        name, kind = m_op.groups()
+        body = line[m_op.end():]
+        deps[name] = set(re.findall(r"%([\w.-]+)", body))
+        kinds[name] = kind
+
+    ppermutes = {n for n, k in kinds.items() if k == "collective-permute"}
+    assert ppermutes, "expected collective-permute ops in the halo HLO"
+
+    from functools import lru_cache
+
+    @lru_cache(maxsize=None)
+    def touches_collective(name):
+        if name in ppermutes:
+            return True
+        return any(
+            touches_collective(d) for d in deps.get(name, ()) if d in kinds
+        )
+
+    # Scatter-adds reach the entry computation as wrapped_scatter
+    # fusions on XLA:CPU — match by name or kind.
+    independent_scatters = [
+        n for n, k in kinds.items()
+        if ("scatter" in k or "scatter" in n) and not touches_collective(n)
+    ]
+    assert independent_scatters, (
+        "no scatter-add free of collective dependencies — the diagonal "
+        "SpMM appears to consume exchanged data"
+    )
