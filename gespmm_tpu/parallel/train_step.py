@@ -126,6 +126,102 @@ def build_sharded_gcn(
     return train_step, (params, opt_state), prepare_inputs, hp
 
 
+def build_sharded_sage(
+    csr,
+    feat_dim: int,
+    hidden: int,
+    classes: int,
+    mesh: Mesh,
+    aggregator: str = "mean",
+    lr: float = 1e-2,
+    seed: int = 0,
+):
+    """Sharded 2-layer GraphSAGE training step (aggregator mean / sum /
+    pool).  mean/sum ride the differentiable tiled halo tier; pool (max)
+    rides the XLA halo tier (identity-aware diag/halo combine) — max
+    gradients flow through the segment formulation.  Completes the
+    reference's model families (`sage_dgl.py --aggregator-type`) in the
+    distributed regime.
+
+    Returns (train_step, init_state, prepare_inputs, halo_partition).
+    """
+    if aggregator not in ("mean", "sum", "pool"):
+        raise ValueError(f"unknown aggregator {aggregator!r}")
+    data_axis = mesh.shape["data"]
+    if csr.shape[0] != csr.shape[1]:
+        raise ValueError("build_sharded_sage needs a square adjacency")
+    hp = build_halo_partition(csr, data_axis, tiled=True)
+    m_pad = hp.num_parts * hp.rpp
+
+    key = jax.random.PRNGKey(seed)
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    params = {
+        # SAGEConv: W_self · h + W_neigh · agg(h_N); pool adds a
+        # pre-pool MLP.
+        "l1": {"self": dense_init(k1, feat_dim, hidden),
+               "neigh": dense_init(k2, feat_dim, hidden)},
+        "l2": {"self": dense_init(k3, hidden, classes),
+               "neigh": dense_init(k4, hidden, classes)},
+    }
+    if aggregator == "pool":
+        kp1, kp2 = jax.random.split(jax.random.split(key, 5)[-1])
+        params["pool1"] = dense_init(kp1, feat_dim, feat_dim)
+        params["pool2"] = dense_init(kp2, hidden, hidden)
+    opt = optax.adamw(lr)
+    opt_state = opt.init(params)
+
+    def prepare_inputs(x, labels, mask):
+        def pad_rows(a):
+            return jnp.pad(
+                a, ((0, m_pad - a.shape[0]),) + ((0, 0),) * (a.ndim - 1)
+            )
+
+        x = jax.device_put(
+            pad_rows(x), NamedSharding(mesh, P("data", None))
+        )
+        labels = jax.device_put(
+            pad_rows(labels), NamedSharding(mesh, P("data"))
+        )
+        mask = jax.device_put(
+            pad_rows(mask), NamedSharding(mesh, P("data"))
+        )
+        return x, labels, mask
+
+    def aggregate(h):
+        if aggregator == "pool":
+            return halo_spmm(hp, h, mesh, reduce="max", method="xla",
+                             model_axis=None)
+        return halo_spmm(hp, h, mesh, reduce=aggregator, model_axis=None)
+
+    def layer(p, h, pre_pool=None):
+        hn = jax.nn.relu(pre_pool(h)) if pre_pool is not None else h
+        agg = aggregate(hn)
+        return (h @ p["self"]["w"] + p["self"]["b"]
+                + agg @ p["neigh"]["w"] + p["neigh"]["b"])
+
+    def forward(params, x):
+        def pre(name):
+            if aggregator != "pool":
+                return None
+            return lambda h: h @ params[name]["w"] + params[name]["b"]
+
+        h = jax.nn.relu(layer(params["l1"], x, pre("pool1")))
+        return layer(params["l2"], h, pre("pool2"))
+
+    def loss_fn(params, x, labels, mask):
+        lp = jax.nn.log_softmax(forward(params, x), axis=-1)
+        return masked_nll_loss(lp, labels, mask)
+
+    @jax.jit
+    def train_step(params, opt_state, x, labels, mask):
+        loss, grads = jax.value_and_grad(loss_fn)(params, x, labels, mask)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return train_step, (params, opt_state), prepare_inputs, hp
+
+
 def build_sharded_gat(
     csr,
     feat_dim: int,

@@ -161,3 +161,25 @@ def test_sharded_gat_train_step_loss_decreases():
         losses.append(float(loss))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0]
+
+
+@pytest.mark.parametrize("aggregator", ["mean", "pool"])
+def test_sharded_sage_train_step_loss_decreases(aggregator):
+    from gespmm_tpu.parallel.train_step import build_sharded_sage
+
+    mesh = make_mesh(data=4, model=1, devices=jax.devices()[:4])
+    csr, _ = powerlaw_csr(64, 64, avg_deg=5, seed=13)
+    rng = np.random.default_rng(13)
+    X = rng.standard_normal((64, 12)).astype(np.float32)
+    labels = rng.integers(0, 4, 64)
+    mask = np.ones(64, bool)
+    step, (params, opt_state), prep, hp = build_sharded_sage(
+        csr, 12, 8, 4, mesh, aggregator=aggregator, lr=1e-2, seed=13
+    )
+    x, y, mk = prep(jnp.asarray(X), jnp.asarray(labels), jnp.asarray(mask))
+    losses = []
+    for _ in range(5):
+        params, opt_state, loss = step(params, opt_state, x, y, mk)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
