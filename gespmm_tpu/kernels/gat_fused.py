@@ -168,7 +168,13 @@ def _gat_bwd(slope, interpret, res, g):
         l = _leaky(pre, slope)
         rows = _slot_rows(part)
         m_slot = jnp.take(_part_rows_slice(part, mx), rows, axis=0)
-        d_slot = jnp.take(_part_rows_slice(part, den), rows, axis=0)
+        # Clamp: _part_rows_slice zero-pads den to m_pad, and INVALID
+        # slots clamp onto those padded rows — an unguarded divide gives
+        # inf whose NaN (inf·0 in the one-hot matmul) poisons the whole
+        # reduce when m % part_rows != 0.
+        d_slot = jnp.maximum(
+            jnp.take(_part_rows_slice(part, den), rows, axis=0), _DENOM_EPS
+        )
         s_slot = jnp.take(_part_rows_slice(part, s_row), rows, axis=0)
         alpha = jnp.exp(jnp.maximum(l - m_slot, _EXP_FLOOR)) / d_slot
         g_slot = jnp.take(_part_rows_slice(part, g32), rows, axis=0)
@@ -220,6 +226,196 @@ def _gat_bwd(slope, interpret, res, g):
 
 
 _gat_core.defvjp(_gat_fwd, _gat_bwd)
+
+
+def _slot_pre_dot(part, D1_pad, D2_pad):
+    """Per-slot dot-product logits D1[r_e] · D2[c_e] — the SDDMM
+    computed directly in slot order (no CSR back-permute; cf. the ~6
+    ns/edge scatter `sddmm_tiled` pays to restore edge order)."""
+    d1 = jnp.take(_part_rows_slice(part, D1_pad), _slot_rows(part), axis=0)
+    d2 = _tile_gather(part, D2_pad)
+    return jnp.sum(d1 * d2, axis=-1, keepdims=True)
+
+
+def _dot_forward(plan, D1, D2, B, slope, interpret):
+    m, n = plan.shape
+    K = B.shape[1]
+    D1p = D1.astype(jnp.float32)
+    D2p = D2.astype(jnp.float32)
+    B32 = B.astype(jnp.float32)
+
+    def act(x):
+        return x if slope is None else _leaky(x, slope)
+
+    mx_parts = []
+    for part in plan.parts:
+        l = act(_slot_pre_dot(part, D1p, D2p))
+        mp = _reduce_part(
+            l, part.local_rows, part.row_start, part.m_pad,
+            part.rows_per_block, 1, "trilo", interpret, op="max",
+        )
+        mx_parts.append(mp[: part.m_part])
+    mx = (mx_parts[0] if len(mx_parts) == 1
+          else jnp.concatenate(mx_parts, 0))[:m]
+    mx = jnp.where(jnp.isfinite(mx), mx, 0.0)
+
+    K_pad, kt = _fit_kt(plan, K + 1)
+    Bc = _pad_cols(B32, K_pad - 1) if K_pad - 1 > K else B32
+    out_parts, den_parts = [], []
+    for part in plan.parts:
+        l = act(_slot_pre_dot(part, D1p, D2p))
+        m_slot = jnp.take(_part_rows_slice(part, mx), _slot_rows(part),
+                          axis=0)
+        z = jnp.exp(jnp.maximum(l - m_slot, _EXP_FLOOR))
+        gb = _tile_gather(part, Bc)
+        stream = jnp.concatenate([gb * z, z], axis=1)
+        res = _reduce_part(
+            stream, part.local_rows, part.row_start, part.m_pad,
+            part.rows_per_block, kt, "trilo", interpret, op="sum",
+        )
+        out_parts.append(res[: part.m_part, :K])
+        den_parts.append(res[: part.m_part, K_pad - 1 : K_pad])
+    out_w = (out_parts[0] if len(out_parts) == 1
+             else jnp.concatenate(out_parts, 0))[:m]
+    den = (den_parts[0] if len(den_parts) == 1
+           else jnp.concatenate(den_parts, 0))[:m]
+    den = jnp.maximum(den, _DENOM_EPS)
+    return out_w / den, mx, den
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _dot_core(slope, interpret, plan, plan_t, D1, D2, B):
+    out, _, _ = _dot_forward(plan, D1, D2, B, slope, interpret)
+    return out.astype(B.dtype)
+
+
+def _dot_fwd(slope, interpret, plan, plan_t, D1, D2, B):
+    out, mx, den = _dot_forward(plan, D1, D2, B, slope, interpret)
+    out = out.astype(B.dtype)
+    return out, (plan, plan_t, D1, D2, B, out, mx, den)
+
+
+def _dot_bwd(slope, interpret, res, g):
+    plan, plan_t, D1, D2, B, out, mx, den = res
+    m, n = plan.shape
+    K = B.shape[1]
+    Ka = D1.shape[1]
+    D1p = D1.astype(jnp.float32)
+    D2p = D2.astype(jnp.float32)
+    B32 = B.astype(jnp.float32)
+    g32 = g.astype(jnp.float32)
+    out32 = out.astype(jnp.float32)
+    s_row = jnp.sum(g32 * out32, axis=-1, keepdims=True)
+
+    def dact(pre):
+        return 1.0 if slope is None else _dleaky(pre, slope)
+
+    # Pass 3 (plan): grad_D1 — Ka-wide reduce of dpre · D2[c_e].
+    gD1_parts = []
+    for part in plan.parts:
+        rows = _slot_rows(part)
+        d1s = jnp.take(_part_rows_slice(part, D1p), rows, axis=0)
+        d2s = _tile_gather(part, D2p)
+        pre = jnp.sum(d1s * d2s, axis=-1, keepdims=True)
+        l = pre if slope is None else _leaky(pre, slope)
+        m_slot = jnp.take(_part_rows_slice(part, mx), rows, axis=0)
+        # Clamp: see _gat_bwd — padded den rows are zero and invalid
+        # slots clamp onto them.
+        d_slot = jnp.maximum(
+            jnp.take(_part_rows_slice(part, den), rows, axis=0), _DENOM_EPS
+        )
+        s_slot = jnp.take(_part_rows_slice(part, s_row), rows, axis=0)
+        alpha = jnp.exp(jnp.maximum(l - m_slot, _EXP_FLOOR)) / d_slot
+        g_slot = jnp.take(_part_rows_slice(part, g32), rows, axis=0)
+        u = jnp.sum(g_slot * _tile_gather(part, B32), axis=-1,
+                    keepdims=True)
+        dpre = alpha * (u - s_slot) * dact(pre)
+        gp = _reduce_part(
+            dpre * d2s, part.local_rows, part.row_start, part.m_pad,
+            part.rows_per_block, min(Ka, 512), "trilo", interpret, op="sum",
+        )
+        gD1_parts.append(gp[: part.m_part])
+    grad_D1 = (gD1_parts[0] if len(gD1_parts) == 1
+               else jnp.concatenate(gD1_parts, 0))[:m]
+
+    # Pass 4 (plan_t): [dB | grad_D2] in one (K+Ka)-wide reduce.
+    KK = K + Ka
+    K_pad, kt = _fit_kt(plan_t, KK)
+    gB_parts, gD2_parts = [], []
+    for part in plan_t.parts:
+        rows_t = _slot_rows(part)
+        d2s = jnp.take(_part_rows_slice(part, D2p), rows_t, axis=0)
+        d1s = _tile_gather(part, D1p)
+        pre = jnp.sum(d1s * d2s, axis=-1, keepdims=True)
+        l = pre if slope is None else _leaky(pre, slope)
+        m_slot = _tile_gather(part, mx)
+        d_slot = _tile_gather(part, den)
+        s_slot = _tile_gather(part, s_row)
+        alpha = jnp.exp(jnp.maximum(l - m_slot, _EXP_FLOOR)) / d_slot
+        b_slot = jnp.take(_part_rows_slice(part, B32), rows_t, axis=0)
+        g_slot = _tile_gather(part, g32)
+        u = jnp.sum(g_slot * b_slot, axis=-1, keepdims=True)
+        dpre = alpha * (u - s_slot) * dact(pre)
+        stream = jnp.concatenate([alpha * g_slot, dpre * d1s], axis=1)
+        if K_pad > KK:
+            stream = jnp.pad(stream, ((0, 0), (0, K_pad - KK)))
+        res_p = _reduce_part(
+            stream, part.local_rows, part.row_start, part.m_pad,
+            part.rows_per_block, kt, "trilo", interpret, op="sum",
+        )
+        gB_parts.append(res_p[: part.m_part, :K])
+        gD2_parts.append(res_p[: part.m_part, K : KK])
+    grad_B = (gB_parts[0] if len(gB_parts) == 1
+              else jnp.concatenate(gB_parts, 0))[:n]
+    grad_D2 = (gD2_parts[0] if len(gD2_parts) == 1
+               else jnp.concatenate(gD2_parts, 0))[:n]
+    return (None, None, grad_D1.astype(D1.dtype),
+            grad_D2.astype(D2.dtype), grad_B.astype(B.dtype))
+
+
+_dot_core.defvjp(_dot_fwd, _dot_bwd)
+
+
+def dot_attention_aggregate(
+    adj,
+    D1: Array,
+    D2: Array,
+    B: Array,
+    *,
+    negative_slope: Optional[float] = None,
+    interpret: Optional[bool] = None,
+) -> Array:
+    """out[r] = Σ_c softmax_c(act(D1[r]·D2[c])) · B[c] over the edge
+    pattern — fused dot-product (transformer-style) graph attention.
+
+    The SDDMM logits, the softmax, and the weighted aggregate all stay
+    in slot order (the SDDMM consumer that "accepts slot order" and so
+    never pays `sddmm_tiled`'s CSR back-permute).  ``act`` is identity
+    (default) or leaky-relu when ``negative_slope`` is given.
+    D1: (m, Ka); D2: (n, Ka); B: (n, K).  Differentiable w.r.t. all
+    three (custom VJP; grads to D1/D2 are the attention-weighted SDDMM
+    duals, fused into the same stream passes).
+    """
+    plan, plan_t = adj.plan, adj.plan_t
+    if not (isinstance(plan, TiledSpmmPlan)
+            and isinstance(plan_t, TiledSpmmPlan)):
+        raise ValueError(
+            "dot_attention_aggregate needs Adjacency.from_csr(csr, "
+            "plan=True) (tiled stream plans for both directions)"
+        )
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if D1.ndim != 2 or D2.ndim != 2 or D1.shape[1] != D2.shape[1]:
+        raise ValueError(f"D1 {D1.shape} / D2 {D2.shape} must be (m,Ka)/(n,Ka)")
+    if D1.shape[0] != plan.shape[0] or D2.shape[0] != plan.shape[1]:
+        raise ValueError(
+            f"D1/D2 rows {D1.shape[0]}/{D2.shape[0]} must match the "
+            f"pattern {plan.shape}"
+        )
+    if B.ndim != 2 or B.shape[0] != plan.shape[1]:
+        raise ValueError(f"B must be ({plan.shape[1]}, K), got {B.shape}")
+    slope = None if negative_slope is None else float(negative_slope)
+    return _dot_core(slope, bool(interpret), plan, plan_t, D1, D2, B)
 
 
 def gat_attention_aggregate(

@@ -184,6 +184,47 @@ def gat_attention(
     return edge_softmax(adj, scores)
 
 
+def attention_aggregate(
+    adj: Adjacency,
+    q: Array,
+    k: Array,
+    v: Array,
+    *,
+    negative_slope: Optional[float] = None,
+    method: str = "auto",
+) -> Array:
+    """out[r] = Σ_c softmax_c(act(q[r]·k[c])) · v[c] over the edge
+    pattern — the full dot-product attention layer (SDDMM scores +
+    edge softmax + weighted aggregate) in one call.
+
+    With tiled plans and method "auto"/"tiled" this runs the fused
+    slot-space kernel (`kernels/gat_fused.dot_attention_aggregate`): 2
+    stream passes per direction, softmax denominator folded into the
+    aggregate, no edge-order permutes.  Otherwise it composes the three
+    ops.  ``act`` is identity unless ``negative_slope`` is given
+    (leaky-relu, GAT-style).
+    """
+    from gespmm_tpu.sparse.partition import TiledSpmmPlan
+
+    if (
+        method in ("auto", "tiled")
+        and isinstance(adj.plan, TiledSpmmPlan)
+        and isinstance(adj.plan_t, TiledSpmmPlan)
+    ):
+        from gespmm_tpu.kernels.gat_fused import dot_attention_aggregate
+
+        return dot_attention_aggregate(
+            adj, q, k, v, negative_slope=negative_slope
+        )
+    scores = sddmm(adj, q, k, method=method)
+    if negative_slope is not None:
+        scores = jax.nn.leaky_relu(scores, negative_slope)
+    alpha = edge_softmax(adj, scores)
+    from gespmm_tpu.ops.spmm import spmm as _spmm
+
+    return _spmm(adj.with_data(alpha), v, reduce="sum", method=method)
+
+
 @jax.custom_vjp
 def _additive_logits_core(adj: Adjacency, src_score: Array,
                           dst_score: Array) -> Array:

@@ -44,7 +44,9 @@ def _place(mesh, a, spec):
     return jax.device_put(jnp.asarray(a), NamedSharding(mesh, spec))
 
 
-@pytest.mark.parametrize("parts", [2, 4])
+@pytest.mark.parametrize(
+    "parts", [pytest.param(2, marks=pytest.mark.slow), 4]
+)
 def test_halo_sddmm_matches_single_device(parts):
     mesh = make_mesh(data=parts, model=1, devices=jax.devices()[:parts])
     csr, _ = random_csr(60, 44, density=0.12, seed=parts)
@@ -102,6 +104,7 @@ def test_halo_additive_logits_and_softmax_match_single_device():
     assert np.all(np.asarray(ah)[~np.asarray(hp.halo_mask)] == 0)
 
 
+@pytest.mark.slow
 def test_halo_attention_chain_grads_vs_single_device():
     """d(loss)/d(features) through logits → softmax → weighted halo_spmm
     must match the single-device composition (reverse collectives via

@@ -34,8 +34,9 @@ def _mk(m, n, K, density=0.12, seed=0, **plan_kw):
     [
         ((60, 50), 16, dict(col_tile=16, rows_per_block=8, chunk_nnz=8,
                             part_rows=24)),   # many tiles, many parts
-        ((64, 64), 32, dict(col_tile=1 << 20, rows_per_block=16,
-                            chunk_nnz=16)),   # single tile
+        pytest.param((64, 64), 32, dict(col_tile=1 << 20,
+                                        rows_per_block=16, chunk_nnz=16),
+                     marks=pytest.mark.slow),  # single tile
     ],
 )
 def test_fused_matches_composed_chain(shape, K, kw):
@@ -62,10 +63,13 @@ def test_fused_powerlaw_hub_rows():
 
 
 def test_fused_grads_match_composed():
-    adj, src, dst, B = _mk(48, 48, 8, seed=9, col_tile=16,
+    # 52 % part_rows != 0: the last part is row-padded, exercising the
+    # padded-denominator clamp in the backward (a zero-padded den once
+    # produced inf/NaN through invalid slots).
+    adj, src, dst, B = _mk(52, 52, 8, seed=9, col_tile=16,
                            rows_per_block=8, chunk_nnz=8, part_rows=24)
     w = jnp.asarray(
-        np.random.default_rng(9).standard_normal((48, 8)).astype(np.float32)
+        np.random.default_rng(9).standard_normal((52, 8)).astype(np.float32)
     )
 
     def loss_fused(src, dst, B):
@@ -83,6 +87,7 @@ def test_fused_grads_match_composed():
         )
 
 
+@pytest.mark.slow
 def test_fused_jit_and_dtype():
     adj, src, dst, B = _mk(40, 40, 8, seed=5, col_tile=1 << 20,
                            rows_per_block=8, chunk_nnz=8)
@@ -107,3 +112,69 @@ def test_fused_validates_inputs():
     adj_np = A.from_csr(adj.csr)  # no plan
     with pytest.raises(ValueError, match="plan"):
         gat_attention_aggregate(adj_np, src, dst, B)
+
+
+def test_dot_attention_matches_composed():
+    csr, _ = random_csr(56, 48, density=0.12, seed=17)
+    adj = Adjacency.from_csr(csr, plan=True, col_tile=16, rows_per_block=8,
+                             chunk_nnz=8, part_rows=24)
+    rng = np.random.default_rng(17)
+    D1 = jnp.asarray(rng.standard_normal((56, 6)).astype(np.float32))
+    D2 = jnp.asarray(rng.standard_normal((48, 6)).astype(np.float32))
+    B = jnp.asarray(rng.standard_normal((48, 8)).astype(np.float32))
+    from gespmm_tpu.kernels.gat_fused import dot_attention_aggregate
+    from gespmm_tpu.ops.sddmm import sddmm
+
+    out = dot_attention_aggregate(adj, D1, D2, B)
+    scores = sddmm(adj, D1, D2, method="xla")
+    alpha = edge_softmax(adj, scores)
+    expect = spmm(adj.with_data(alpha), B, method="xla")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expect), **TOL)
+
+
+def test_dot_attention_grads_match_composed():
+    csr, _ = random_csr(44, 44, density=0.14, seed=21)
+    adj = Adjacency.from_csr(csr, plan=True, col_tile=16, rows_per_block=8,
+                             chunk_nnz=8, part_rows=24)
+    rng = np.random.default_rng(21)
+    D1 = jnp.asarray(rng.standard_normal((44, 5)).astype(np.float32))
+    D2 = jnp.asarray(rng.standard_normal((44, 5)).astype(np.float32))
+    B = jnp.asarray(rng.standard_normal((44, 8)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((44, 8)).astype(np.float32))
+    from gespmm_tpu.kernels.gat_fused import dot_attention_aggregate
+    from gespmm_tpu.ops.sddmm import sddmm
+
+    def loss_fused(D1, D2, B):
+        out = dot_attention_aggregate(adj, D1, D2, B, negative_slope=0.2)
+        return jnp.sum(out * w)
+
+    def loss_comp(D1, D2, B):
+        scores = sddmm(adj, D1, D2, method="xla")
+        alpha = edge_softmax(adj, jax.nn.leaky_relu(scores, 0.2))
+        return jnp.sum(spmm(adj.with_data(alpha), B, method="xla") * w)
+
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2))(D1, D2, B)
+    gc = jax.grad(loss_comp, argnums=(0, 1, 2))(D1, D2, B)
+    for a, b, name in zip(gf, gc, ["D1", "D2", "B"]):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=3e-4, atol=3e-4,
+            err_msg=f"grad_{name}",
+        )
+
+
+def test_attention_aggregate_api_both_paths():
+    from gespmm_tpu.ops.graph import attention_aggregate
+
+    csr, _ = random_csr(40, 40, density=0.15, seed=29)
+    adj_plan = Adjacency.from_csr(csr, plan=True, col_tile=1 << 20,
+                                  rows_per_block=8, chunk_nnz=8)
+    adj_xla = Adjacency.from_csr(csr)
+    rng = np.random.default_rng(29)
+    q = jnp.asarray(rng.standard_normal((40, 4)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((40, 4)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((40, 8)).astype(np.float32))
+    out_fused = attention_aggregate(adj_plan, q, k, v)
+    out_xla = attention_aggregate(adj_xla, q, k, v, method="xla")
+    np.testing.assert_allclose(
+        np.asarray(out_fused), np.asarray(out_xla), **TOL
+    )

@@ -332,6 +332,7 @@ def test_explicit_method_strictness():
     spmm(adj_plain, B, method="auto", reduce="max")
 
 
+@pytest.mark.slow
 def test_spmm_tiled_nonmultiple_k_tile_terminates():
     # Regression: k_tile not a multiple of 128 with K > k_tile used to
     # loop forever in the k-tile fitting loop.
