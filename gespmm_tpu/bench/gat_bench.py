@@ -21,6 +21,7 @@ def main(argv=None):
     p.add_argument("--dataset", default="pubmed",
                    help="bundled graph name, .mtx path, or 'sbm'")
     p.add_argument("--n-hidden", type=int, default=64)
+    p.add_argument("--n-heads", type=int, default=1)
     p.add_argument("--n-layers", type=int, default=2)
     p.add_argument("--n-epochs", type=int, default=100)
     p.add_argument("--lr", type=float, default=5e-3)
@@ -52,7 +53,7 @@ def main(argv=None):
         + [args.n_hidden] * (args.n_layers - 1)
         + [ds.num_classes]
     )
-    model = GAT(dims=dims, method=args.method)
+    model = GAT(dims=dims, method=args.method, heads=args.n_heads)
     res = train_node_classifier(
         model, adj, ds.features, ds.labels, ds.masks,
         epochs=args.n_epochs, lr=args.lr,

@@ -28,13 +28,24 @@ from gespmm_tpu.ops.spmm import Adjacency, spmm
 Array = jax.Array
 
 
-def gat_layer_init(key, in_dim: int, out_dim: int) -> dict:
+def gat_layer_init(key, in_dim: int, out_dim: int, heads: int = 1) -> dict:
+    """Per-layer params.  heads > 1 follows DGL's GATConv: one shared
+    projection W (in, heads*out), per-head attention vectors (heads,
+    out); the merge (concat for hidden layers, mean for the output
+    layer) happens in apply."""
     k1, k2, k3 = jax.random.split(key, 3)
+    if heads == 1:
+        return {
+            "w": glorot(k1, (in_dim, out_dim)),
+            "a_src": glorot(k2, (out_dim, 1))[:, 0],
+            "a_dst": glorot(k3, (out_dim, 1))[:, 0],
+            "b": jnp.zeros((out_dim,), jnp.float32),
+        }
     return {
-        "w": glorot(k1, (in_dim, out_dim)),
-        "a_src": glorot(k2, (out_dim, 1))[:, 0],
-        "a_dst": glorot(k3, (out_dim, 1))[:, 0],
-        "b": jnp.zeros((out_dim,), jnp.float32),
+        "w": glorot(k1, (in_dim, heads * out_dim)),
+        "a_src": glorot(k2, (heads, out_dim)),
+        "a_dst": glorot(k3, (heads, out_dim)),
+        "b": jnp.zeros((heads * out_dim,), jnp.float32),
     }
 
 
@@ -45,7 +56,13 @@ def gat_layer_apply(
     *,
     negative_slope: float = 0.2,
     method: str = "auto",
+    merge: str = "concat",
 ) -> Array:
+    if p["a_src"].ndim == 2:  # multi-head layer
+        return _gat_layer_multihead(
+            p, adj, x, negative_slope=negative_slope, method=method,
+            merge=merge,
+        )
     h = x @ p["w"]  # (n, out)
     # Additive attention decomposes into per-node terms; the edge logits
     # are src_score[row] + dst_score[col] — expressed directly (two
@@ -80,14 +97,68 @@ def gat_layer_apply(
     return out + p["b"]
 
 
+def _gat_layer_multihead(
+    p: dict,
+    adj: Adjacency,
+    x: Array,
+    *,
+    negative_slope: float,
+    method: str,
+    merge: str,
+) -> Array:
+    """Multi-head layer: per-head fused attention over the head's slice
+    of the shared projection; heads merge by concat (hidden layers) or
+    mean (output layer), DGL GATConv semantics."""
+    from gespmm_tpu.sparse.partition import TiledSpmmPlan
+
+    heads, dh = p["a_src"].shape
+    h = x @ p["w"]  # (n, heads*dh)
+    use_fused = (
+        method in ("auto", "tiled")
+        and isinstance(adj.plan, TiledSpmmPlan)
+        and isinstance(adj.plan_t, TiledSpmmPlan)
+    )
+    outs = []
+    for hd in range(heads):
+        hh = h[:, hd * dh : (hd + 1) * dh]
+        src = hh @ p["a_src"][hd]
+        dst = hh @ p["a_dst"][hd]
+        if use_fused:
+            from gespmm_tpu.kernels.gat_fused import gat_attention_aggregate
+
+            outs.append(gat_attention_aggregate(
+                adj, src, dst, hh, negative_slope=negative_slope
+            ))
+        else:
+            from gespmm_tpu.ops.graph import additive_attention_logits
+
+            logits = additive_attention_logits(adj, src, dst)
+            alpha = edge_softmax(
+                adj, jax.nn.leaky_relu(logits, negative_slope)
+            )
+            outs.append(
+                spmm(adj.with_data(alpha), hh, reduce="sum", method=method)
+            )
+    if merge == "mean":
+        out = sum(outs) / heads
+        return out + p["b"][:dh]
+    return jnp.concatenate(outs, axis=1) + p["b"]
+
+
 @dataclasses.dataclass(frozen=True)
 class GAT:
-    """n-layer single-head GAT. `dims = [in, hidden..., out]`."""
+    """n-layer GAT. `dims = [in, hidden..., out]`.
+
+    ``heads`` > 1 follows the DGL GAT benchmark architecture: hidden
+    layers run `heads` attention heads merged by concatenation (so their
+    effective width is hidden*heads), the output layer averages its
+    heads."""
 
     dims: Sequence[int]
     dropout_rate: float = 0.5
     negative_slope: float = 0.2
     method: str = "auto"
+    heads: int = 1
 
     @property
     def n_layers(self) -> int:
@@ -95,10 +166,13 @@ class GAT:
 
     def init(self, key) -> dict:
         keys = jax.random.split(key, self.n_layers)
-        return {
-            f"layer_{i}": gat_layer_init(keys[i], self.dims[i], self.dims[i + 1])
-            for i in range(self.n_layers)
-        }
+        params = {}
+        for i in range(self.n_layers):
+            in_dim = self.dims[i] * (self.heads if i > 0 else 1)
+            params[f"layer_{i}"] = gat_layer_init(
+                keys[i], in_dim, self.dims[i + 1], heads=self.heads
+            )
+        return params
 
     def apply(
         self,
@@ -114,11 +188,13 @@ class GAT:
             if training and rng is not None:
                 rng, sub = jax.random.split(rng)
                 h = dropout(sub, h, self.dropout_rate, training)
+            last = i == self.n_layers - 1
             h = gat_layer_apply(
                 params[f"layer_{i}"], adj, h,
                 negative_slope=self.negative_slope, method=self.method,
+                merge="mean" if last else "concat",
             )
-            if i < self.n_layers - 1:
+            if not last:
                 h = jax.nn.elu(h)
         return h
 
