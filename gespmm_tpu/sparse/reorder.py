@@ -144,6 +144,22 @@ def fennel_partition(
     cap = int(-(-m // P) * (1.0 + max(slack, 0.0))) + 1
     alpha = np.sqrt(P) * nnz / max(m**1.5, 1.0)
 
+    # Native fast path: same algorithm in C++ (native/graphio.cpp,
+    # gio_fennel_partition) — the Python loop below is the semantic
+    # oracle at ~1e5 nodes/s; the native one handles rmat20-scale
+    # pre-passes in seconds.  Deterministic lowest-shard tie-break
+    # instead of RNG jitter (both valid greedy argmax resolutions;
+    # partition_order scores candidates by measured footprint either
+    # way).
+    from gespmm_tpu.utils.native import fennel_partition_native
+
+    native_labels = fennel_partition_native(
+        np.asarray(indptr, np.int32), np.asarray(indices, np.int32),
+        P, gamma=gamma, passes=passes, slack=slack,
+    )
+    if native_labels is not None:
+        return native_labels
+
     rng = np.random.default_rng(seed)
     # Stream order: BFS-ish locality helps the first pass see assigned
     # neighbors early; a degree-descending order pins the hubs first so

@@ -78,6 +78,17 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
         np.ctypeslib.ndpointer(np.int32),
         np.ctypeslib.ndpointer(np.int32),
     ]
+    lib.gio_fennel_partition.restype = None
+    lib.gio_fennel_partition.argtypes = [
+        np.ctypeslib.ndpointer(np.int32),
+        np.ctypeslib.ndpointer(np.int32),
+        ctypes.c_int64,
+        ctypes.c_int32,
+        ctypes.c_double,
+        ctypes.c_int32,
+        ctypes.c_double,
+        np.ctypeslib.ndpointer(np.int32),
+    ]
     lib.gio_pack_chunks.restype = ctypes.c_int64
     lib.gio_pack_chunks.argtypes = [
         np.ctypeslib.ndpointer(np.int32),
@@ -199,3 +210,31 @@ def pack_chunks_native(
         chunk_tile.ctypes.data_as(ctypes.c_void_p),
     )
     return local_rows, row_start, slot_to_edge, chunk_tile
+
+
+def fennel_partition_native(
+    indptr: np.ndarray,
+    indices: np.ndarray,
+    num_parts: int,
+    gamma: float = 1.5,
+    passes: int = 3,
+    slack: float = 0.1,
+) -> Optional[np.ndarray]:
+    """Native streaming Fennel partition; None when the lib is missing.
+
+    Same algorithm as sparse/reorder.fennel_partition's NumPy loop (the
+    semantic oracle, cross-tested on structure metrics); ~100x faster —
+    the rmat20-scale pre-pass the Python loop cannot do.
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    m = indptr.shape[0] - 1
+    labels = np.empty(m, np.int32)
+    lib.gio_fennel_partition(
+        np.ascontiguousarray(indptr, np.int32),
+        np.ascontiguousarray(indices, np.int32),
+        m, int(num_parts), float(gamma), int(passes), float(slack),
+        labels,
+    )
+    return labels

@@ -15,6 +15,9 @@
 //   gio_coo_to_csr() — COO (sorted) -> CSR indptr
 //   gio_csr_to_csc() — CSR -> CSC (counting sort; returns permutation)
 
+#include <algorithm>
+#include <cmath>
+#include <limits>
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
@@ -331,6 +334,77 @@ int64_t gio_pack_chunks(const int32_t* rows, const int32_t* tiles,
     i = j;
   }
   return c;
+}
+
+// Streaming Fennel partition (restreamed) — the native fast path of
+// sparse/reorder.fennel_partition (same algorithm: degree-descending
+// stream order, greedy argmax of neighbors-in-shard minus the Fennel
+// load penalty alpha*gamma*|S|^(gamma-1), capacity cap with slack,
+// `passes` restreams).  Python's per-node loop is ~1e5 nodes/s; this
+// runs the 1M-node rmat20 pre-pass in seconds.  Deterministic
+// (lowest-shard tie-break; no RNG).
+void gio_fennel_partition(const int32_t* indptr, const int32_t* indices,
+                          int64_t m, int32_t P, double gamma,
+                          int32_t passes, double slack,
+                          int32_t* labels) {
+  if (P <= 1) {
+    for (int64_t i = 0; i < m; ++i) labels[i] = 0;
+    return;
+  }
+  const int64_t nnz = indptr[m];
+  const int64_t cap =
+      (int64_t)(((m + P - 1) / P) * (1.0 + (slack > 0 ? slack : 0))) + 1;
+  const double alpha =
+      std::sqrt((double)P) * (double)nnz / std::pow((double)m, 1.5);
+
+  // Degree-descending stream order (hubs pinned first).
+  std::vector<int64_t> order(m);
+  for (int64_t i = 0; i < m; ++i) order[i] = i;
+  std::stable_sort(order.begin(), order.end(), [&](int64_t a, int64_t b) {
+    return (indptr[a + 1] - indptr[a]) > (indptr[b + 1] - indptr[b]);
+  });
+
+  std::vector<int64_t> sizes(P, 0);
+  std::vector<double> counts(P, 0.0);
+  std::vector<int32_t> touched;
+  touched.reserve(256);
+  for (int64_t i = 0; i < m; ++i) labels[i] = -1;
+
+  const int sweeps = passes > 0 ? passes : 1;
+  for (int sweep = 0; sweep < sweeps; ++sweep) {
+    for (int64_t oi = 0; oi < m; ++oi) {
+      const int64_t v = order[oi];
+      const int32_t old = labels[v];
+      if (old >= 0) sizes[old] -= 1;
+      touched.clear();
+      for (int64_t e = indptr[v]; e < indptr[v + 1]; ++e) {
+        const int32_t lab = labels[indices[e]];
+        if (lab >= 0) {
+          if (counts[lab] == 0.0) touched.push_back(lab);
+          counts[lab] += 1.0;
+        }
+      }
+      double best = -std::numeric_limits<double>::infinity();
+      int32_t bestp = 0;
+      // Ascending scan with strict > replicates np.argmax's
+      // lowest-index-wins tie-break EXACTLY.  That matters: scores tie
+      // often (integer counts, equal sizes), and a consistent
+      // lowest-shard preference clusters tied nodes together (measured
+      // cut 894 vs 1950 on the shuffled-SBM test when a
+      // discovery-order tie-break was used instead).  O(P) per node.
+      for (int32_t q = 0; q < P; ++q) {
+        if (sizes[q] >= cap) continue;
+        const double sc =
+            counts[q] - alpha * gamma *
+                            std::pow((double)(sizes[q] > 0 ? sizes[q] : 0),
+                                     gamma - 1.0);
+        if (sc > best) { best = sc; bestp = q; }
+      }
+      for (int32_t t : touched) counts[t] = 0.0;
+      labels[v] = bestp;
+      sizes[bestp] += 1;
+    }
+  }
 }
 
 }  // extern "C"
