@@ -140,3 +140,26 @@ def test_partitioned_halo_spmm_matches_dense():
     expect = (dense @ B)[perm]
     np.testing.assert_allclose(np.asarray(out)[:n], expect, rtol=1e-4,
                                atol=1e-4)
+
+
+@pytest.mark.slow
+def test_partition_order_rmat16_footprint_target():
+    """VERDICT r2 #3 done-criterion: footprint_frac at P=8 on rmat16
+    drops to <= 0.6 (needs the native Fennel path for speed)."""
+    import gespmm_tpu.utils.native as nat
+
+    if not nat.available():
+        pytest.skip("native lib unavailable")
+    from gespmm_tpu.sparse.reorder import (
+        apply_permutation, halo_need_stats, partition_order,
+    )
+    from gespmm_tpu.utils.datasets import rmat_graph
+
+    csr = rmat_graph(scale=16, edge_factor=16, seed=1)
+    base = halo_need_stats(csr, 8)["footprint_frac"]
+    perm = partition_order(csr, 8, method="auto")
+    part = halo_need_stats(apply_permutation(csr, perm), 8)[
+        "footprint_frac"
+    ]
+    assert part <= 0.6, (base, part)
+    assert part < 0.75 * base, (base, part)
