@@ -89,25 +89,37 @@ def _row_pad(X: Array, rows: int) -> Array:
     return jnp.pad(X, ((0, rows - X.shape[0]),) + ((0, 0),) * (X.ndim - 1))
 
 
-def _forward(plan, src2, dst2, B, slope, interpret):
+def _forward(plan, src2, dst2, B, slope, interpret, max_mode="exact"):
     m, n = plan.shape
     K = B.shape[1]
     src_pad = src2.astype(jnp.float32)
     dst_pad = dst2.astype(jnp.float32)
     B32 = B.astype(jnp.float32)
 
-    # Pass 1: per-row logit max (K=1 stream).
-    mx_parts = []
-    for part in plan.parts:
-        l = _leaky(_slot_pre(part, src_pad, dst_pad), slope)
-        mp = _reduce_part(
-            l, part.local_rows, part.row_start, part.m_pad,
-            part.rows_per_block, 1, "trilo", interpret, op="max",
-        )
-        mx_parts.append(mp[: part.m_part])
-    mx = (mx_parts[0] if len(mx_parts) == 1
-          else jnp.concatenate(mx_parts, 0))[:m]
-    mx = jnp.where(jnp.isfinite(mx), mx, 0.0)  # empty rows
+    if max_mode == "bound":
+        # O(n) softmax shift instead of the K=1 max stream: leaky-relu
+        # is monotone nondecreasing, so leaky(src[r] + max_c dst[c])
+        # upper-bounds every edge logit of row r.  Softmax is exactly
+        # shift-invariant — the ONLY cost is underflow headroom:
+        # bound - l_e <= max(dst) - dst[c_e] (leaky slope <= 1), so
+        # alphas stay exact while the dst-score dynamic range is under
+        # ~80 (f32 exp headroom; trained attention scores are O(10)).
+        # Callers pick this when the per-row max pass measures as a
+        # bottleneck and their score range allows it.
+        mx = _leaky(src_pad + jnp.max(dst_pad), slope)
+    else:
+        # Pass 1: per-row logit max (K=1 stream).
+        mx_parts = []
+        for part in plan.parts:
+            l = _leaky(_slot_pre(part, src_pad, dst_pad), slope)
+            mp = _reduce_part(
+                l, part.local_rows, part.row_start, part.m_pad,
+                part.rows_per_block, 1, "trilo", interpret, op="max",
+            )
+            mx_parts.append(mp[: part.m_part])
+        mx = (mx_parts[0] if len(mx_parts) == 1
+              else jnp.concatenate(mx_parts, 0))[:m]
+        mx = jnp.where(jnp.isfinite(mx), mx, 0.0)  # empty rows
 
     # Pass 2: z-weighted aggregate with the denominator as column K.
     K_pad, kt = _fit_kt(plan, K + 1)
@@ -136,19 +148,19 @@ def _forward(plan, src2, dst2, B, slope, interpret):
     return out, mx, den
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
-def _gat_core(slope, interpret, plan, plan_t, src2, dst2, B):
-    out, _, _ = _forward(plan, src2, dst2, B, slope, interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _gat_core(slope, interpret, max_mode, plan, plan_t, src2, dst2, B):
+    out, _, _ = _forward(plan, src2, dst2, B, slope, interpret, max_mode)
     return out.astype(B.dtype)
 
 
-def _gat_fwd(slope, interpret, plan, plan_t, src2, dst2, B):
-    out, mx, den = _forward(plan, src2, dst2, B, slope, interpret)
+def _gat_fwd(slope, interpret, max_mode, plan, plan_t, src2, dst2, B):
+    out, mx, den = _forward(plan, src2, dst2, B, slope, interpret, max_mode)
     out = out.astype(B.dtype)
     return out, (plan, plan_t, src2, dst2, B, out, mx, den)
 
 
-def _gat_bwd(slope, interpret, res, g):
+def _gat_bwd(slope, interpret, max_mode, res, g):
     plan, plan_t, src2, dst2, B, out, mx, den = res
     m, n = plan.shape
     K = B.shape[1]
@@ -426,6 +438,7 @@ def gat_attention_aggregate(
     *,
     negative_slope: float = 0.2,
     interpret: Optional[bool] = None,
+    max_mode: str = "exact",
 ) -> Array:
     """out[r] = Σ_c softmax_c(leaky(src[r]+dst[c])) · B[c] over the edge
     pattern — the whole GATv1 attention layer as one fused op.
@@ -434,6 +447,9 @@ def gat_attention_aggregate(
     ``src_score``: (m,) or (m, 1); ``dst_score``: (n,) or (n, 1);
     ``B``: (n, K).  Single-head; multi-head models loop heads.
     Differentiable w.r.t. all three tensors (custom VJP above).
+    ``max_mode``: "exact" (per-row max via a K=1 stream pass) or
+    "bound" (O(n) shift via src[r]+max(dst); exact alphas while the
+    dst-score dynamic range is under ~80 — see _forward).
     """
     plan, plan_t = adj.plan, adj.plan_t
     if not (isinstance(plan, TiledSpmmPlan)
@@ -453,5 +469,7 @@ def gat_attention_aggregate(
         )
     if B.ndim != 2 or B.shape[0] != plan.shape[1]:
         raise ValueError(f"B must be ({plan.shape[1]}, K), got {B.shape}")
-    return _gat_core(float(negative_slope), bool(interpret),
+    if max_mode not in ("exact", "bound"):
+        raise ValueError(f"max_mode must be exact|bound, got {max_mode!r}")
+    return _gat_core(float(negative_slope), bool(interpret), str(max_mode),
                      plan, plan_t, src2, dst2, B)

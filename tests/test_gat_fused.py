@@ -178,3 +178,22 @@ def test_attention_aggregate_api_both_paths():
     np.testing.assert_allclose(
         np.asarray(out_fused), np.asarray(out_xla), **TOL
     )
+
+
+def test_fused_bound_max_mode_matches_exact():
+    adj, src, dst, B = _mk(48, 48, 8, seed=33, col_tile=16,
+                           rows_per_block=8, chunk_nnz=8, part_rows=24)
+    out_e = gat_attention_aggregate(adj, src, dst, B, max_mode="exact")
+    out_b = gat_attention_aggregate(adj, src, dst, B, max_mode="bound")
+    np.testing.assert_allclose(np.asarray(out_b), np.asarray(out_e),
+                               rtol=1e-5, atol=1e-5)
+    # Gradients agree too (the shift only changes the residual mx).
+    w = jnp.asarray(
+        np.random.default_rng(33).standard_normal((48, 8)).astype(np.float32)
+    )
+    ge = jax.grad(lambda s: jnp.sum(
+        gat_attention_aggregate(adj, s, dst, B, max_mode="exact") * w))(src)
+    gb = jax.grad(lambda s: jnp.sum(
+        gat_attention_aggregate(adj, s, dst, B, max_mode="bound") * w))(src)
+    np.testing.assert_allclose(np.asarray(gb), np.asarray(ge),
+                               rtol=1e-4, atol=1e-4)
