@@ -60,9 +60,17 @@ def bench_graph(
     # "pallas" the per-row DMA plan, everything else none.
     adjs = {}
     base_adj = Adjacency.from_csr(csr)
+    tiled_adj = None
     for method in methods:
-        if method == "tiled":
-            adjs[method] = Adjacency.from_csr(csr, plan="tiled")
+        if method in ("tiled", "tiled-hilo", "tiled-fast"):
+            # Precision-tier pseudo-methods share one tiled plan; the
+            # suffix maps to spmm(mode=...) — the sweep records the
+            # speed/accuracy frontier (hilo halves the MXU passes at
+            # ~1e-5 relative; the f64 golden validation column keeps the
+            # claim honest per cell).
+            if tiled_adj is None:
+                tiled_adj = Adjacency.from_csr(csr, plan="tiled")
+            adjs[method] = tiled_adj
         elif method == "pallas":
             adjs[method] = Adjacency.from_csr(
                 csr, plan="perrow",
@@ -144,17 +152,20 @@ def bench_graph(
                 # the kernel there (measured: cora K=128 86 -> 7 GF/s
                 # when passed as an argument).
                 big = csr.nnz > 4_000_000
+                base_method, _, _mode = method.partition("-")
+                _mode = _mode or "trilo"
                 if method == "bcoo":
                     fn = jax.jit(lambda b: bcoo @ b)
                 elif big:
                     fn_a = jax.jit(
-                        lambda a, b, _m=method: spmm(a, b, method=_m)
+                        lambda a, b, _m=base_method, _md=_mode: spmm(
+                            a, b, method=_m, mode=_md)
                     )
                     fn = lambda b, _f=fn_a, _a=adjs[method]: _f(_a, b)
                 else:
                     fn = jax.jit(
-                        lambda b, _a=adjs[method], _m=method: spmm(
-                            _a, b, method=_m)
+                        lambda b, _a=adjs[method], _m=base_method,
+                        _md=_mode: spmm(_a, b, method=_m, mode=_md)
                     )
                 if golden is not None:
                     got = np.asarray(fn(B)).astype(np.float64)
@@ -176,16 +187,17 @@ def bench_graph(
                         )
                     elif big:
                         r = timing.benchmark_chained(
-                            lambda a, x, _m=method: spmm(
-                                a, x, method=_m) * 0.5,
+                            lambda a, x, _m=base_method, _md=_mode: spmm(
+                                a, x, method=_m, mode=_md) * 0.5,
                             B * 0.01,
                             iters=max(10, min(iters // 4, 50)), groups=4,
                             consts=adjs[method],
                         )
                     else:
                         r = timing.benchmark_chained(
-                            lambda x, _a=adjs[method], _m=method: spmm(
-                                _a, x, method=_m) * 0.5,
+                            lambda x, _a=adjs[method], _m=base_method,
+                            _md=_mode: spmm(_a, x, method=_m,
+                                            mode=_md) * 0.5,
                             B * 0.01,
                             iters=max(10, min(iters // 4, 50)), groups=4,
                         )

@@ -214,6 +214,7 @@ class _SpmmConfig:
     m: int
     n: int
     method: str
+    mode: str = "trilo"  # stream-kernel precision tier (tiled path only)
 
 
 # ---------------------------------------------------------------------------
@@ -280,7 +281,8 @@ def _forward(cfg: _SpmmConfig, indptr, indices, data, plan, B, rows=None) -> Arr
         from gespmm_tpu.sparse.partition import TiledSpmmPlan
 
         if isinstance(plan, TiledSpmmPlan):
-            return spmm_tiled(plan, data, B, cfg.m, reduce=cfg.reduce)
+            return spmm_tiled(plan, data, B, cfg.m, reduce=cfg.reduce,
+                              mode=cfg.mode)
     if method == "pallas" and plan is not None and cfg.reduce == "sum":
         from gespmm_tpu.sparse.partition import GroupedSpmmPlan
 
@@ -333,7 +335,8 @@ def _spmm_core_bwd(cfg, res, g):
         # (≙ op.py:29 backward running csr_spmm on the CSC arrays).
         t_data = None if data is None else data[perm]
         t_cfg = _SpmmConfig(
-            reduce="sum", m=cfg.n, n=cfg.m, method=cfg.method
+            reduce="sum", m=cfg.n, n=cfg.m, method=cfg.method,
+            mode=cfg.mode,
         )
         grad_B = _forward(t_cfg, t_indptr, t_indices, t_data, plan_t, g,
                           rows=t_rows)
@@ -448,6 +451,7 @@ def spmm(
     *,
     reduce: str = "sum",
     method: str = "auto",
+    mode: str = "trilo",
 ) -> Array:
     """C = reduce_e A[r, c_e] * B[c_e, :]  — sparse × dense.
 
@@ -457,9 +461,17 @@ def spmm(
       B: dense matrix (n, K).
       reduce: "sum" | "mean" | "max" | "min".
       method: "auto" | "tiled" | "xla" | "pallas" | "scatter".
+      mode: stream-kernel precision tier (tiled path only):
+        "trilo" (default — matches f32 accumulation to roundoff, 3 bf16
+        MXU passes) | "hilo" (2 passes, ~1e-5 relative, halves the MXU
+        cost) | "fast" (1 pass, ~4e-3) | "highest" (f32 MXU).
 
     Differentiable in ``B`` and in ``adj``'s edge values (if present).
     """
+    if mode not in ("trilo", "hilo", "fast", "highest"):
+        raise ValueError(
+            f"mode must be trilo|hilo|fast|highest, got {mode!r}"
+        )
     if isinstance(adj, CSR):
         adj = Adjacency.from_csr(adj)
     if B.ndim != 2:
@@ -470,11 +482,11 @@ def spmm(
     _check_method(adj, reduce, method)
 
     if reduce == "mean":
-        out = spmm(adj, B, reduce="sum", method=method)
+        out = spmm(adj, B, reduce="sum", method=method, mode=mode)
         deg = (adj.csr.indptr[1:] - adj.csr.indptr[:-1]).astype(out.dtype)
         return out / jnp.maximum(deg, 1.0)[:, None]
 
-    cfg = _SpmmConfig(reduce=reduce, m=m, n=n, method=method)
+    cfg = _SpmmConfig(reduce=reduce, m=m, n=n, method=method, mode=mode)
     return _spmm_core(
         cfg,
         adj.csr.indptr,

@@ -19,6 +19,7 @@ python scripts/verify_drive.py
 python -m gespmm_tpu.bench.spmm_bench \
   --graphs cora citeseer pubmed rmat14 rmat16 rmat18 rmat20 \
   --k 32 128 512 --validate --roofline \
+  --methods xla tiled tiled-hilo bcoo \
   --csv bench_results/spmm_sweep.csv \
   > bench_results/spmm_sweep.jsonl \
   2> bench_results/spmm_sweep_errors.log
