@@ -220,19 +220,19 @@ def test_gat_multihead_trains_and_matches_xla_path():
     from gespmm_tpu.ops.spmm import Adjacency
     from tests.conftest import random_csr
 
-    csr, _ = random_csr(48, 48, density=0.15, seed=41)
+    csr, _ = random_csr(32, 32, density=0.15, seed=41)
     adj_plan = Adjacency.from_csr(csr, plan=True, col_tile=1 << 20,
                                   rows_per_block=8, chunk_nnz=8)
     adj_xla = Adjacency.from_csr(csr)
     rng = np.random.default_rng(41)
-    x = jnp.asarray(rng.standard_normal((48, 10)).astype(np.float32))
-    model = GAT(dims=[10, 6, 3], dropout_rate=0.0, heads=2)
+    x = jnp.asarray(rng.standard_normal((32, 10)).astype(np.float32))
+    model = GAT(dims=[10, 4, 3], dropout_rate=0.0, heads=2)
     params = model.init(jax.random.PRNGKey(0))
     out_fused = model.apply(params, adj_plan, x)
-    model_xla = GAT(dims=[10, 6, 3], dropout_rate=0.0, heads=2,
+    model_xla = GAT(dims=[10, 4, 3], dropout_rate=0.0, heads=2,
                     method="xla")
     out_xla = model_xla.apply(params, adj_xla, x)
-    assert out_fused.shape == (48, 3)  # output layer: heads averaged
+    assert out_fused.shape == (32, 3)  # output layer: heads averaged
     np.testing.assert_allclose(
         np.asarray(out_fused), np.asarray(out_xla), rtol=1e-4, atol=1e-4
     )
