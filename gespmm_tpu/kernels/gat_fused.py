@@ -89,89 +89,111 @@ def _row_pad(X: Array, rows: int) -> Array:
     return jnp.pad(X, ((0, rows - X.shape[0]),) + ((0, 0),) * (X.ndim - 1))
 
 
-def _forward(plan, src2, dst2, B, slope, interpret, max_mode="exact"):
+def _forward(plan, src2, dst2, B, slope, interpret, max_mode="exact",
+             heads=1):
+    """Head-batched forward: src2/dst2 are (m, H)/(n, H), B is
+    (n, H*dh) in head blocks.  One K=H max pass + one (H*dh + H)-wide
+    aggregate whose last H columns are the per-head denominators."""
     m, n = plan.shape
-    K = B.shape[1]
+    H = heads
+    KB = B.shape[1]
+    dh = KB // H
     src_pad = src2.astype(jnp.float32)
     dst_pad = dst2.astype(jnp.float32)
     B32 = B.astype(jnp.float32)
 
     if max_mode == "bound":
-        # O(n) softmax shift instead of the K=1 max stream: leaky-relu
+        # O(n) softmax shift instead of the K=H max stream: leaky-relu
         # is monotone nondecreasing, so leaky(src[r] + max_c dst[c])
-        # upper-bounds every edge logit of row r.  Softmax is exactly
+        # upper-bounds every edge logit per head.  Softmax is exactly
         # shift-invariant — the ONLY cost is underflow headroom:
         # bound - l_e <= max(dst) - dst[c_e] (leaky slope <= 1), so
         # alphas stay exact while the dst-score dynamic range is under
         # ~80 (f32 exp headroom; trained attention scores are O(10)).
-        # Callers pick this when the per-row max pass measures as a
-        # bottleneck and their score range allows it.
-        mx = _leaky(src_pad + jnp.max(dst_pad), slope)
+        mx = _leaky(src_pad + jnp.max(dst_pad, axis=0), slope)
     else:
-        # Pass 1: per-row logit max (K=1 stream).
+        # Pass 1: per-row logit max (K=H stream).
         mx_parts = []
         for part in plan.parts:
             l = _leaky(_slot_pre(part, src_pad, dst_pad), slope)
             mp = _reduce_part(
                 l, part.local_rows, part.row_start, part.m_pad,
-                part.rows_per_block, 1, "trilo", interpret, op="max",
+                part.rows_per_block, H, "trilo", interpret, op="max",
             )
             mx_parts.append(mp[: part.m_part])
         mx = (mx_parts[0] if len(mx_parts) == 1
               else jnp.concatenate(mx_parts, 0))[:m]
         mx = jnp.where(jnp.isfinite(mx), mx, 0.0)  # empty rows
 
-    # Pass 2: z-weighted aggregate with the denominator as column K.
-    K_pad, kt = _fit_kt(plan, K + 1)
-    Bc = _pad_cols(B32, K_pad - 1) if K_pad - 1 > K else B32
+    # Pass 2: z-weighted aggregate with per-head denominators as the
+    # last H columns.
+    KK = KB + H
+    K_pad, kt = _fit_kt(plan, KK)
     out_parts, den_parts = [], []
     for part in plan.parts:
         pre = _slot_pre(part, src_pad, dst_pad)
         l = _leaky(pre, slope)
         m_slot = jnp.take(_part_rows_slice(part, mx), _slot_rows(part),
                           axis=0)
-        z = jnp.exp(jnp.maximum(l - m_slot, _EXP_FLOOR))  # (S, 1)
-        gb = _tile_gather(part, Bc)  # (S, K_pad-1)
-        stream = jnp.concatenate([gb * z, z], axis=1)  # (S, K_pad)
+        z = jnp.exp(jnp.maximum(l - m_slot, _EXP_FLOOR))  # (S, H)
+        gb = _tile_gather(part, B32)  # (S, H*dh)
+        z_rep = z if H == 1 and dh == 1 else jnp.repeat(z, dh, axis=1)
+        stream = jnp.concatenate([gb * z_rep, z], axis=1)  # (S, KK)
+        if K_pad > KK:
+            stream = jnp.pad(stream, ((0, 0), (0, K_pad - KK)))
         res = _reduce_part(
             stream, part.local_rows, part.row_start, part.m_pad,
             part.rows_per_block, kt, "trilo", interpret, op="sum",
         )
-        out_parts.append(res[: part.m_part, :K])
-        den_parts.append(res[: part.m_part, K_pad - 1 : K_pad])
+        out_parts.append(res[: part.m_part, :KB])
+        den_parts.append(res[: part.m_part, KB:KK])
     out_w = (out_parts[0] if len(out_parts) == 1
              else jnp.concatenate(out_parts, 0))[:m]
     den = (den_parts[0] if len(den_parts) == 1
            else jnp.concatenate(den_parts, 0))[:m]
     den = jnp.maximum(den, _DENOM_EPS)
-    out = out_w / den
+    out = out_w / jnp.repeat(den, dh, axis=1)
     return out, mx, den
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
-def _gat_core(slope, interpret, max_mode, plan, plan_t, src2, dst2, B):
-    out, _, _ = _forward(plan, src2, dst2, B, slope, interpret, max_mode)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
+def _gat_core(slope, interpret, max_mode, heads, plan, plan_t, src2, dst2,
+              B):
+    out, _, _ = _forward(plan, src2, dst2, B, slope, interpret, max_mode,
+                         heads)
     return out.astype(B.dtype)
 
 
-def _gat_fwd(slope, interpret, max_mode, plan, plan_t, src2, dst2, B):
-    out, mx, den = _forward(plan, src2, dst2, B, slope, interpret, max_mode)
+def _gat_fwd(slope, interpret, max_mode, heads, plan, plan_t, src2, dst2,
+             B):
+    out, mx, den = _forward(plan, src2, dst2, B, slope, interpret,
+                            max_mode, heads)
     out = out.astype(B.dtype)
     return out, (plan, plan_t, src2, dst2, B, out, mx, den)
 
 
-def _gat_bwd(slope, interpret, max_mode, res, g):
+def _gat_bwd(slope, interpret, max_mode, heads, res, g):
     plan, plan_t, src2, dst2, B, out, mx, den = res
     m, n = plan.shape
-    K = B.shape[1]
+    H = heads
+    KB = B.shape[1]
+    dh = KB // H
     src_pad = src2.astype(jnp.float32)
     dst_pad = dst2.astype(jnp.float32)
     B32 = B.astype(jnp.float32)
     g32 = g.astype(jnp.float32)
     out32 = out.astype(jnp.float32)
-    # Softmax-attention identity: the alpha-weighted row sum of per-edge
-    # u_e = g·B equals <g_r, out_r> — no extra stream pass needed.
-    s_row = jnp.sum(g32 * out32, axis=-1, keepdims=True)  # (m, 1)
+    # Softmax-attention identity per head: the alpha-weighted row sum of
+    # per-edge u_e = g_h·B_h equals <g_r, out_r> within the head block —
+    # no extra stream pass needed.
+    s_row = jnp.sum(
+        (g32 * out32).reshape(m, H, dh), axis=-1
+    )  # (m, H)
+
+    def _head_dot(a, b):
+        # (S, H*dh) x (S, H*dh) -> per-head dots (S, H).
+        S = a.shape[0]
+        return jnp.sum((a * b).reshape(S, H, dh), axis=-1)
 
     # Pass 3 (plan): d src_score — edge cotangent recomputed per slot.
     gsrc_parts = []
@@ -190,23 +212,22 @@ def _gat_bwd(slope, interpret, max_mode, res, g):
         s_slot = jnp.take(_part_rows_slice(part, s_row), rows, axis=0)
         alpha = jnp.exp(jnp.maximum(l - m_slot, _EXP_FLOOR)) / d_slot
         g_slot = jnp.take(_part_rows_slice(part, g32), rows, axis=0)
-        u = jnp.sum(g_slot * _tile_gather(part, B32), axis=-1,
-                    keepdims=True)
+        u = _head_dot(g_slot, _tile_gather(part, B32))  # (S, H)
         dpre = alpha * (u - s_slot) * _dleaky(pre, slope)
         gp = _reduce_part(
             dpre, part.local_rows, part.row_start, part.m_pad,
-            part.rows_per_block, 1, "trilo", interpret, op="sum",
+            part.rows_per_block, H, "trilo", interpret, op="sum",
         )
         gsrc_parts.append(gp[: part.m_part])
     grad_src = (gsrc_parts[0] if len(gsrc_parts) == 1
                 else jnp.concatenate(gsrc_parts, 0))[:m]
 
-    # Pass 4 (plan_t): [dB | d dst_score] in one K+1-wide reduce.
+    # Pass 4 (plan_t): [dB | d dst_score] in one (H*dh + H)-wide reduce.
     # In transpose slot space the "rows" are original columns and the
     # tile gathers index original rows — every factor recomputed from
     # the node tables, no permutes.
-    K_pad, kt = _fit_kt(plan_t, K + 1)
-    gc = _pad_cols(g32, K_pad - 1) if K_pad - 1 > K else g32
+    KK = KB + H
+    K_pad, kt = _fit_kt(plan_t, KK)
     gB_parts, gdst_parts = [], []
     for part in plan_t.parts:
         rows_t = _slot_rows(part)
@@ -215,20 +236,25 @@ def _gat_bwd(slope, interpret, max_mode, res, g):
         pre = srcp + dstp
         l = _leaky(pre, slope)
         m_slot = _tile_gather(part, mx)
-        d_slot = _tile_gather(part, den)
+        d_slot = jnp.maximum(_tile_gather(part, den), _DENOM_EPS)
         s_slot = _tile_gather(part, s_row)
         alpha = jnp.exp(jnp.maximum(l - m_slot, _EXP_FLOOR)) / d_slot
         b_slot = jnp.take(_part_rows_slice(part, B32), rows_t, axis=0)
-        g_slot = _tile_gather(part, gc)
-        u = jnp.sum(g_slot[:, :K] * b_slot, axis=-1, keepdims=True)
+        g_slot = _tile_gather(part, g32)
+        u = _head_dot(g_slot, b_slot)
         dpre = alpha * (u - s_slot) * _dleaky(pre, slope)
-        stream = jnp.concatenate([alpha * g_slot, dpre], axis=1)
+        alpha_rep = alpha if H == 1 and dh == 1 else jnp.repeat(
+            alpha, dh, axis=1
+        )
+        stream = jnp.concatenate([alpha_rep * g_slot, dpre], axis=1)
+        if K_pad > KK:
+            stream = jnp.pad(stream, ((0, 0), (0, K_pad - KK)))
         res_p = _reduce_part(
             stream, part.local_rows, part.row_start, part.m_pad,
             part.rows_per_block, kt, "trilo", interpret, op="sum",
         )
-        gB_parts.append(res_p[: part.m_part, :K])
-        gdst_parts.append(res_p[: part.m_part, K_pad - 1 : K_pad])
+        gB_parts.append(res_p[: part.m_part, :KB])
+        gdst_parts.append(res_p[: part.m_part, KB:KK])
     grad_B = (gB_parts[0] if len(gB_parts) == 1
               else jnp.concatenate(gB_parts, 0))[:n]
     grad_dst = (gdst_parts[0] if len(gdst_parts) == 1
@@ -439,17 +465,20 @@ def gat_attention_aggregate(
     negative_slope: float = 0.2,
     interpret: Optional[bool] = None,
     max_mode: str = "exact",
+    heads: int = 1,
 ) -> Array:
     """out[r] = Σ_c softmax_c(leaky(src[r]+dst[c])) · B[c] over the edge
     pattern — the whole GATv1 attention layer as one fused op.
 
     Needs an ``Adjacency`` with tiled plans (``plan=True``).
-    ``src_score``: (m,) or (m, 1); ``dst_score``: (n,) or (n, 1);
-    ``B``: (n, K).  Single-head; multi-head models loop heads.
-    Differentiable w.r.t. all three tensors (custom VJP above).
-    ``max_mode``: "exact" (per-row max via a K=1 stream pass) or
-    "bound" (O(n) shift via src[r]+max(dst); exact alphas while the
-    dst-score dynamic range is under ~80 — see _forward).
+    ``src_score``: (m,) or (m, H); ``dst_score``: (n,) or (n, H);
+    ``B``: (n, H·dh) in head blocks (``heads`` = H).  ALL heads batch
+    into one K=H max pass and one (H·dh + H)-wide aggregate — much
+    better TPU lane shapes than a per-head loop.  Differentiable
+    w.r.t. all three tensors (custom VJP above).
+    ``max_mode``: "exact" (per-row max via a K=H stream pass) or
+    "bound" (O(n) shift via src[r]+max(dst) per head; exact alphas
+    while the dst-score dynamic range is under ~80 — see _forward).
     """
     plan, plan_t = adj.plan, adj.plan_t
     if not (isinstance(plan, TiledSpmmPlan)
@@ -462,14 +491,19 @@ def gat_attention_aggregate(
         interpret = jax.default_backend() != "tpu"
     src2 = src_score[:, None] if src_score.ndim == 1 else src_score
     dst2 = dst_score[:, None] if dst_score.ndim == 1 else dst_score
-    if src2.shape != (plan.shape[0], 1) or dst2.shape != (plan.shape[1], 1):
+    H = int(heads)
+    if src2.shape != (plan.shape[0], H) or dst2.shape != (plan.shape[1], H):
         raise ValueError(
             f"score shapes {src_score.shape}/{dst_score.shape} must be "
-            f"({plan.shape[0]},)/({plan.shape[1]},) (single head)"
+            f"({plan.shape[0]}, {H})/({plan.shape[1]}, {H}) for "
+            f"heads={H} (1-D accepted when heads=1; single head means "
+            f"heads=1)"
         )
-    if B.ndim != 2 or B.shape[0] != plan.shape[1]:
-        raise ValueError(f"B must be ({plan.shape[1]}, K), got {B.shape}")
+    if B.ndim != 2 or B.shape[0] != plan.shape[1] or B.shape[1] % H:
+        raise ValueError(
+            f"B must be ({plan.shape[1]}, {H}*dh), got {B.shape}"
+        )
     if max_mode not in ("exact", "bound"):
         raise ValueError(f"max_mode must be exact|bound, got {max_mode!r}")
     return _gat_core(float(negative_slope), bool(interpret), str(max_mode),
-                     plan, plan_t, src2, dst2, B)
+                     H, plan, plan_t, src2, dst2, B)

@@ -118,31 +118,36 @@ def _gat_layer_multihead(
         and isinstance(adj.plan, TiledSpmmPlan)
         and isinstance(adj.plan_t, TiledSpmmPlan)
     )
-    outs = []
-    for hd in range(heads):
-        hh = h[:, hd * dh : (hd + 1) * dh]
-        src = hh @ p["a_src"][hd]
-        dst = hh @ p["a_dst"][hd]
-        if use_fused:
-            from gespmm_tpu.kernels.gat_fused import gat_attention_aggregate
+    n = h.shape[0]
+    # Per-head scores, all heads at once: (n, H).
+    src = jnp.einsum("nhd,hd->nh", h.reshape(n, heads, dh), p["a_src"])
+    dst = jnp.einsum("nhd,hd->nh", h.reshape(n, heads, dh), p["a_dst"])
+    if use_fused:
+        # ONE fused call batches every head: K=H max pass + (H*dh+H)
+        # aggregate — the per-head loop's narrow passes fused away.
+        from gespmm_tpu.kernels.gat_fused import gat_attention_aggregate
 
-            outs.append(gat_attention_aggregate(
-                adj, src, dst, hh, negative_slope=negative_slope
-            ))
-        else:
-            from gespmm_tpu.ops.graph import additive_attention_logits
+        out = gat_attention_aggregate(
+            adj, src, dst, h, negative_slope=negative_slope, heads=heads
+        )
+    else:
+        from gespmm_tpu.ops.graph import additive_attention_logits
 
-            logits = additive_attention_logits(adj, src, dst)
+        outs = []
+        for hd in range(heads):
+            hh = h[:, hd * dh : (hd + 1) * dh]
+            logits = additive_attention_logits(adj, src[:, hd], dst[:, hd])
             alpha = edge_softmax(
                 adj, jax.nn.leaky_relu(logits, negative_slope)
             )
             outs.append(
                 spmm(adj.with_data(alpha), hh, reduce="sum", method=method)
             )
+        out = jnp.concatenate(outs, axis=1)
     if merge == "mean":
-        out = sum(outs) / heads
-        return out + p["b"][:dh]
-    return jnp.concatenate(outs, axis=1) + p["b"]
+        m_out = out.shape[0]
+        return out.reshape(m_out, heads, dh).mean(axis=1) + p["b"][:dh]
+    return out + p["b"]
 
 
 @dataclasses.dataclass(frozen=True)

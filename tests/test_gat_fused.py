@@ -197,3 +197,49 @@ def test_fused_bound_max_mode_matches_exact():
         gat_attention_aggregate(adj, s, dst, B, max_mode="bound") * w))(src)
     np.testing.assert_allclose(np.asarray(gb), np.asarray(ge),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_fused_head_batched_matches_per_head():
+    """heads=H batched call == H independent single-head calls on the
+    head slices (forward and gradients)."""
+    csr, _ = random_csr(44, 44, density=0.14, seed=37)
+    adj = Adjacency.from_csr(csr, plan=True, col_tile=16, rows_per_block=8,
+                             chunk_nnz=8, part_rows=24)
+    rng = np.random.default_rng(37)
+    H, dh = 3, 4
+    src = jnp.asarray(rng.standard_normal((44, H)).astype(np.float32))
+    dst = jnp.asarray(rng.standard_normal((44, H)).astype(np.float32))
+    B = jnp.asarray(rng.standard_normal((44, H * dh)).astype(np.float32))
+    out = gat_attention_aggregate(adj, src, dst, B, heads=H)
+    for hd in range(H):
+        ref = gat_attention_aggregate(
+            adj, src[:, hd], dst[:, hd], B[:, hd * dh : (hd + 1) * dh]
+        )
+        np.testing.assert_allclose(
+            np.asarray(out)[:, hd * dh : (hd + 1) * dh], np.asarray(ref),
+            rtol=1e-5, atol=1e-5, err_msg=f"head {hd}",
+        )
+    # Gradient parity: sum-loss grads match the per-head composition.
+    w = jnp.asarray(
+        rng.standard_normal((44, H * dh)).astype(np.float32)
+    )
+
+    def loss_batched(src, dst, B):
+        return jnp.sum(gat_attention_aggregate(adj, src, dst, B, heads=H) * w)
+
+    def loss_per_head(src, dst, B):
+        tot = 0.0
+        for hd in range(H):
+            o = gat_attention_aggregate(
+                adj, src[:, hd], dst[:, hd], B[:, hd * dh : (hd + 1) * dh]
+            )
+            tot = tot + jnp.sum(o * w[:, hd * dh : (hd + 1) * dh])
+        return tot
+
+    gb = jax.grad(loss_batched, argnums=(0, 1, 2))(src, dst, B)
+    gp = jax.grad(loss_per_head, argnums=(0, 1, 2))(src, dst, B)
+    for a, b, name in zip(gb, gp, ["src", "dst", "B"]):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4,
+            err_msg=f"grad_{name}",
+        )
