@@ -87,6 +87,7 @@ class LocalTiledCfg:
     nnz_pad: int  # width of the per-shard edge-data array (src sentinel)
     with_vals: bool = False  # apply a runtime edge-value array?
     mode: str = "trilo"
+    heads: int = 1  # runtime edge values per edge (head-blocked B)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -298,9 +299,17 @@ def _tiled_apply(cfg: LocalTiledCfg, lcols, local_rows, row_start, src,
         B32 = jnp.pad(B32, ((0, 0), (0, K_pad - K)))
     contrib = _gather_slots(cfg, lcols, B32)
     if cfg.with_vals:
-        v = jnp.take(edata.astype(jnp.float32), src, mode="fill",
+        v = jnp.take(edata.astype(jnp.float32), src, axis=0, mode="fill",
                      fill_value=0.0)
-        contrib = contrib * v[:, None]
+        if cfg.heads > 1:
+            # Head-blocked B: per-head edge values (nnz_pad, H) repeat
+            # across each head's dh feature columns.
+            v = jnp.repeat(v, K // cfg.heads, axis=1)
+            if v.shape[1] < contrib.shape[1]:  # K padding columns
+                v = jnp.pad(v, ((0, 0), (0, contrib.shape[1] - v.shape[1])))
+            contrib = contrib * v
+        else:
+            contrib = contrib * v[:, None]
     out = _reduce_part(
         contrib, local_rows, row_start, cfg.m_pad, cfg.rows_per_block,
         kt, cfg.mode, interpret, op="sum",
@@ -335,7 +344,8 @@ def _local_tiled_bwd(cfg_f, cfg_b, res, g):
     zeros = (None, None, None, None, None, None, None, None)
     if not cfg_f.with_vals:
         return zeros + (jnp.zeros_like(edata), grad_B)
-    # grad_val in the forward slot layout: b_slot · g_slot summed over K.
+    # grad_val in the forward slot layout: b_slot · g_slot summed over
+    # each head's feature block (all of K when heads == 1).
     g32 = g.astype(jnp.float32)
     if g32.shape[0] < cfg_f.m_pad:
         g32 = jnp.pad(g32, ((0, cfg_f.m_pad - g32.shape[0]), (0, 0)))
@@ -345,12 +355,21 @@ def _local_tiled_bwd(cfg_f, cfg_b, res, g):
         (rstart_f[:, None] + lrows_f).reshape(-1), cfg_f.m_pad - 1
     )
     g_slot = jnp.take(g32, slot_rows, axis=0)
-    prod = jnp.sum(b_slot * g_slot, axis=-1)
+    H = cfg_f.heads
+    if H > 1:
+        S = b_slot.shape[0]
+        dh = B.shape[1] // H
+        prod = jnp.sum(
+            (b_slot * g_slot).reshape(S, H, dh), axis=-1
+        )  # (S, H)
+    else:
+        prod = jnp.sum(b_slot * g_slot, axis=-1)
     valid = (lrows_f < R).reshape(-1)
     # Barrier: XLA:TPU intermittently miscompiles scatters whose update
     # operand is a fused product of gathers (see ops/reference).
     prod = jax.lax.optimization_barrier(prod)
-    gd = jnp.zeros((cfg_f.nnz_pad + 1,), jnp.float32).at[
+    trail = () if H == 1 else (H,)
+    gd = jnp.zeros((cfg_f.nnz_pad + 1,) + trail, jnp.float32).at[
         jnp.where(valid, src_f, cfg_f.nnz_pad)
     ].set(prod)
     grad_edata = gd[: edata.shape[0]].astype(edata.dtype)
@@ -659,12 +678,12 @@ def split_edge_values(hp: HaloPartition, vals: Array):
     logits) into the distributed SpMM.
     """
     v = jnp.asarray(vals)
-    dv = jnp.take(v, jnp.maximum(hp.diag_src, 0), axis=0) * (
-        hp.diag_src >= 0
-    ).astype(v.dtype)
-    hv = jnp.take(v, jnp.maximum(hp.halo_src, 0), axis=0) * (
-        hp.halo_src >= 0
-    ).astype(v.dtype)
+    dm = (hp.diag_src >= 0).astype(v.dtype)
+    hm = (hp.halo_src >= 0).astype(v.dtype)
+    if v.ndim == 2:  # (nnz, H) per-head values
+        dm, hm = dm[..., None], hm[..., None]
+    dv = jnp.take(v, jnp.maximum(hp.diag_src, 0), axis=0) * dm
+    hv = jnp.take(v, jnp.maximum(hp.halo_src, 0), axis=0) * hm
     return dv, hv
 
 
@@ -825,15 +844,30 @@ def halo_spmm(
         return out
 
     sx = P(axis, None)
+    heads = 1
+    if rt_vals and diag_vals.ndim == 3:
+        # Per-head runtime edge values (P, nnz, H) over head-blocked B
+        # (tiled tier only — the XLA local tier takes scalar edge
+        # values; loop heads there).
+        heads = int(diag_vals.shape[2])
+        if method != "tiled":
+            raise ValueError(
+                "per-head (3-D) edge values need method='tiled'"
+            )
+        if B.shape[1] % heads:
+            raise ValueError(
+                f"B width {B.shape[1]} must be heads={heads} blocks"
+            )
     if method == "tiled":
         arrs = hp.tiled_arrays
         use_vals = has_dd
         cfgs = tuple(
-            dataclasses.replace(c, with_vals=use_vals)
+            dataclasses.replace(c, with_vals=use_vals, heads=heads)
             for c in hp.tiled_cfgs
         )
         dv = dvals if use_vals else jnp.zeros((Pn, 1), B.dtype)
         hv = hvals if use_vals else jnp.zeros((Pn, 1), B.dtype)
+        vspec = sx if (not use_vals or dv.ndim == 2) else P(axis, None, None)
 
         def arr_spec(a: LocalTiledArrays):
             return LocalTiledArrays(
@@ -847,7 +881,7 @@ def halo_spmm(
             P(axis, None), sx,
             arr_spec(arrs[0]), arr_spec(arrs[1]),
             arr_spec(arrs[2]), arr_spec(arrs[3]),
-            sx, sx,
+            vspec, vspec,
             P(axis, model_in_mesh),
         )
         fn = shard_map(

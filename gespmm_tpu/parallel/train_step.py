@@ -285,23 +285,21 @@ def build_sharded_gat(
         return x, labels, mask
 
     def attention_layer(h, a_src, a_dst):
-        """One attention head-block: alphas per head, head-sliced
-        aggregates, concatenated back.  h: (m_pad, heads*dh)."""
+        """All heads in one chain: logits/softmax carry a trailing head
+        dim, and ONE halo_spmm aggregates every head's feature block
+        with its per-head alphas (3-D runtime edge values on the tiled
+        tier).  h: (m_pad, heads*dh)."""
         dl, hl = halo_additive_logits(
             hp, h @ a_src, h @ a_dst, mesh
         )
         dl = jax.nn.leaky_relu(dl, 0.2)
         hl = jax.nn.leaky_relu(hl, 0.2)
         ad, ah = halo_edge_softmax(hp, dl, hl, mesh)
-        dh = h.shape[1] // heads
-        outs = []
-        for hd in range(heads):
-            outs.append(halo_spmm(
-                hp, h[:, hd * dh : (hd + 1) * dh], mesh,
-                diag_vals=ad[..., hd], halo_vals=ah[..., hd],
-                model_axis=None,
-            ))
-        return outs[0] if heads == 1 else jnp.concatenate(outs, axis=1)
+        if heads == 1:
+            return halo_spmm(hp, h, mesh, diag_vals=ad[..., 0],
+                             halo_vals=ah[..., 0], model_axis=None)
+        return halo_spmm(hp, h, mesh, diag_vals=ad, halo_vals=ah,
+                         model_axis=None)
 
     def forward(params, x):
         h = x @ params["l1"]["w"] + params["l1"]["b"]
