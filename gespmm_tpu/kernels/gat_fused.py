@@ -90,7 +90,7 @@ def _row_pad(X: Array, rows: int) -> Array:
 
 
 def _forward(plan, src2, dst2, B, slope, interpret, max_mode="exact",
-             heads=1):
+             heads=1, mode="trilo"):
     """Head-batched forward: src2/dst2 are (m, H)/(n, H), B is
     (n, H*dh) in head blocks.  One K=H max pass + one (H*dh + H)-wide
     aggregate whose last H columns are the per-head denominators."""
@@ -141,9 +141,16 @@ def _forward(plan, src2, dst2, B, slope, interpret, max_mode="exact",
         stream = jnp.concatenate([gb * z_rep, z], axis=1)  # (S, KK)
         if K_pad > KK:
             stream = jnp.pad(stream, ((0, 0), (0, K_pad - KK)))
+        if mode == "fast":
+            # bf16 stream: halves the aggregate's HBM bytes and runs ONE
+            # MXU pass instead of trilo's three.  ~4e-3 relative on the
+            # attention weights — a training-precision tier (alphas are
+            # post-softmax weights; models train through bf16 attention
+            # routinely), never the default.
+            stream = stream.astype(jnp.bfloat16)
         res = _reduce_part(
             stream, part.local_rows, part.row_start, part.m_pad,
-            part.rows_per_block, kt, "trilo", interpret, op="sum",
+            part.rows_per_block, kt, mode, interpret, op="sum",
         )
         out_parts.append(res[: part.m_part, :KB])
         den_parts.append(res[: part.m_part, KB:KK])
@@ -156,23 +163,23 @@ def _forward(plan, src2, dst2, B, slope, interpret, max_mode="exact",
     return out, mx, den
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
-def _gat_core(slope, interpret, max_mode, heads, plan, plan_t, src2, dst2,
-              B):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4))
+def _gat_core(slope, interpret, max_mode, heads, mode, plan, plan_t, src2,
+              dst2, B):
     out, _, _ = _forward(plan, src2, dst2, B, slope, interpret, max_mode,
-                         heads)
+                         heads, mode)
     return out.astype(B.dtype)
 
 
-def _gat_fwd(slope, interpret, max_mode, heads, plan, plan_t, src2, dst2,
-             B):
+def _gat_fwd(slope, interpret, max_mode, heads, mode, plan, plan_t, src2,
+             dst2, B):
     out, mx, den = _forward(plan, src2, dst2, B, slope, interpret,
-                            max_mode, heads)
+                            max_mode, heads, mode)
     out = out.astype(B.dtype)
     return out, (plan, plan_t, src2, dst2, B, out, mx, den)
 
 
-def _gat_bwd(slope, interpret, max_mode, heads, res, g):
+def _gat_bwd(slope, interpret, max_mode, heads, mode, res, g):
     plan, plan_t, src2, dst2, B, out, mx, den = res
     m, n = plan.shape
     H = heads
@@ -466,6 +473,7 @@ def gat_attention_aggregate(
     interpret: Optional[bool] = None,
     max_mode: str = "exact",
     heads: int = 1,
+    mode: str = "trilo",
 ) -> Array:
     """out[r] = Σ_c softmax_c(leaky(src[r]+dst[c])) · B[c] over the edge
     pattern — the whole GATv1 attention layer as one fused op.
@@ -505,5 +513,7 @@ def gat_attention_aggregate(
         )
     if max_mode not in ("exact", "bound"):
         raise ValueError(f"max_mode must be exact|bound, got {max_mode!r}")
+    if mode not in ("trilo", "hilo", "fast"):
+        raise ValueError(f"mode must be trilo|hilo|fast, got {mode!r}")
     return _gat_core(float(negative_slope), bool(interpret), str(max_mode),
-                     H, plan, plan_t, src2, dst2, B)
+                     H, str(mode), plan, plan_t, src2, dst2, B)

@@ -243,3 +243,20 @@ def test_fused_head_batched_matches_per_head():
             np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4,
             err_msg=f"grad_{name}",
         )
+
+
+def test_fused_precision_tiers():
+    adj, src, dst, B = _mk(48, 48, 16, seed=47, col_tile=1 << 20,
+                           rows_per_block=8, chunk_nnz=8)
+    ref = gat_attention_aggregate(adj, src, dst, B)  # trilo
+    hilo = gat_attention_aggregate(adj, src, dst, B, mode="hilo")
+    fast = gat_attention_aggregate(adj, src, dst, B, mode="fast")
+    np.testing.assert_allclose(np.asarray(hilo), np.asarray(ref),
+                               rtol=5e-4, atol=5e-4)
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(ref),
+                               rtol=3e-2, atol=3e-2)
+    # Gradients still flow on every tier (backward is always trilo —
+    # residual-based, independent of the forward stream precision).
+    g = jax.grad(lambda b: jnp.sum(
+        gat_attention_aggregate(adj, src, dst, b, mode="fast") ** 2))(B)
+    assert bool(jnp.all(jnp.isfinite(g)))
