@@ -32,6 +32,11 @@ def main(argv=None):
                    choices=["auto", "xla", "pallas", "tiled"])
     p.add_argument("--plan", action="store_true", default=True)
     p.add_argument("--no-plan", dest="plan", action="store_false")
+    p.add_argument(
+        "--impl", default="ours", choices=["ours", "stock"],
+        help="'stock' trains the identical model on stock JAX ops "
+        "(segment_* softmax + BCOO matmul) — the A/B baseline",
+    )
     p.add_argument("--log-every", type=int, default=20)
     args = p.parse_args(argv)
 
@@ -53,7 +58,13 @@ def main(argv=None):
         + [args.n_hidden] * (args.n_layers - 1)
         + [ds.num_classes]
     )
-    model = GAT(dims=dims, method=args.method, heads=args.n_heads)
+    if args.impl == "stock":
+        from gespmm_tpu.models.baselines import GATStock
+
+        model = GATStock(dims=dims)
+        adj = GATStock.from_adjacency(adj)
+    else:
+        model = GAT(dims=dims, method=args.method, heads=args.n_heads)
     res = train_node_classifier(
         model, adj, ds.features, ds.labels, ds.masks,
         epochs=args.n_epochs, lr=args.lr,
@@ -67,6 +78,7 @@ def main(argv=None):
                 "n": csr.shape[0],
                 "nnz": csr.nnz,
                 "dims": dims,
+                "impl": args.impl,
                 "epochs": args.n_epochs,
                 "mean_epoch_time_ms": round(
                     res["mean_epoch_time"] * 1e3, 3

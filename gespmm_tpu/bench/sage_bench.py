@@ -30,6 +30,11 @@ def main(argv=None):
     p.add_argument("--max-neighbors", type=int, default=32,
                    help="lstm aggregator: neighbor sample cap per node")
     p.add_argument("--method", default="auto", choices=["auto", "xla", "pallas"])
+    p.add_argument(
+        "--impl", default="ours", choices=["ours", "stock"],
+        help="'stock' trains the identical model on stock JAX ops "
+        "(BCOO matmul / segment_max) — the A/B baseline",
+    )
     p.add_argument("--log-every", type=int, default=20)
     args = p.parse_args(argv)
 
@@ -56,11 +61,24 @@ def main(argv=None):
         neighbor_table = build_neighbor_table(
             ds.csr, max_neighbors=args.max_neighbors
         )
-    model = GraphSAGE(
-        dims=dims, aggregator=args.aggregator_type,
-        dropout_rate=args.dropout, method=args.method,
-        neighbor_table=neighbor_table,
-    )
+    if args.impl == "stock":
+        from gespmm_tpu.models.baselines import SAGEStock
+
+        if args.aggregator_type not in ("mean", "sum", "pool"):
+            raise SystemExit(
+                "--impl stock supports mean/sum/pool aggregators"
+            )
+        model = SAGEStock(dims=dims, aggregator=args.aggregator_type,
+                          dropout_rate=args.dropout)
+        adj_nnz = adj.nnz
+        adj = SAGEStock.from_adjacency(adj, args.aggregator_type)
+    else:
+        model = GraphSAGE(
+            dims=dims, aggregator=args.aggregator_type,
+            dropout_rate=args.dropout, method=args.method,
+            neighbor_table=neighbor_table,
+        )
+        adj_nnz = adj.nnz
     res = train_node_classifier(
         model, adj, ds.features, ds.labels, ds.masks,
         epochs=args.n_epochs, lr=args.lr, weight_decay=args.weight_decay,
@@ -68,13 +86,14 @@ def main(argv=None):
     )
     # ETputs: edges traversed per second per epoch (sage_dgl.py:142-144).
     etputs_kteps = (
-        adj.nnz / res["mean_epoch_time"] / 1e3
+        adj_nnz / res["mean_epoch_time"] / 1e3
         if res["mean_epoch_time"] > 0
         else float("nan")
     )
     print(json.dumps({
         "dataset": ds.name,
         "aggregator": args.aggregator_type,
+        "impl": args.impl,
         "dims": dims,
         "mean_epoch_time_ms": round(res["mean_epoch_time"] * 1e3, 3),
         "etputs_kteps": round(etputs_kteps, 1),

@@ -38,6 +38,11 @@ python -m gespmm_tpu.bench.sage_bench --dataset pubmed --n-epochs 100 --aggregat
 python -m gespmm_tpu.bench.sage_bench --dataset pubmed --n-epochs 100 --aggregator-type pool --log-every 0 | tee bench_results/sage_pool_epoch.json
 python -m gespmm_tpu.bench.sage_bench --dataset pubmed --n-epochs 100 --aggregator-type lstm --log-every 0 | tee bench_results/sage_lstm_epoch.json
 python -m gespmm_tpu.bench.gat_bench  --dataset pubmed --n-epochs 100 --log-every 0 | tee bench_results/gat_epoch.json
+# Stock-JAX A/B baselines (the gcn_pyg.py-style comparison, all models).
+python -m gespmm_tpu.bench.gcn_bench  --dataset pubmed --n-epochs 100 --impl bcoo --log-every 0 | tee bench_results/gcn_epoch_bcoo.json
+python -m gespmm_tpu.bench.sage_bench --dataset pubmed --n-epochs 100 --aggregator-type mean --impl stock --log-every 0 | tee bench_results/sage_mean_epoch_stock.json
+python -m gespmm_tpu.bench.sage_bench --dataset pubmed --n-epochs 100 --aggregator-type pool --impl stock --log-every 0 | tee bench_results/sage_pool_epoch_stock.json
+python -m gespmm_tpu.bench.gat_bench  --dataset pubmed --n-epochs 100 --impl stock --log-every 0 | tee bench_results/gat_epoch_stock.json
 
 # 4. GAT cost decomposition (where does the epoch go) — checked-in
 #    profile table per VERDICT r2 #4.

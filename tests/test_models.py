@@ -244,3 +244,66 @@ def test_gat_multihead_trains_and_matches_xla_path():
     for lname, lp in g.items():
         for pname, arr in lp.items():
             assert bool(jnp.any(arr != 0)), f"{lname}/{pname} grad all-zero"
+
+
+def test_gat_stock_baseline_same_params_parity():
+    """GATStock (segment_* + BCOO) must compute the same function as our
+    GAT given identical parameters — the A/B baseline is only meaningful
+    if the models are the same model."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gespmm_tpu.models.baselines import GATStock
+    from gespmm_tpu.models.gat import GAT
+    from gespmm_tpu.ops.spmm import Adjacency
+    from tests.conftest import random_csr
+
+    csr, _ = random_csr(40, 40, density=0.15, seed=51)
+    adj = Adjacency.from_csr(csr)
+    rng = np.random.default_rng(51)
+    x = jnp.asarray(rng.standard_normal((40, 8)).astype(np.float32))
+    ours = GAT(dims=[8, 6, 3], dropout_rate=0.0, method="xla")
+    stock = GATStock(dims=[8, 6, 3], dropout_rate=0.0)
+    params = ours.init(jax.random.PRNGKey(3))
+    out_ours = ours.apply(params, adj, x)
+    out_stock = stock.apply(params, GATStock.from_adjacency(adj), x)
+    np.testing.assert_allclose(
+        np.asarray(out_ours), np.asarray(out_stock), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_sage_stock_baseline_same_params_parity():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gespmm_tpu.models.baselines import SAGEStock
+    from gespmm_tpu.models.sage import GraphSAGE
+    from gespmm_tpu.ops.spmm import Adjacency
+    from tests.conftest import random_csr
+
+    csr, _ = random_csr(40, 40, density=0.15, seed=53)
+    # Binary adjacency: SAGE aggregators are edge-weight-free in DGL and
+    # in the benches (planetoid graphs load binary); our spmm would fold
+    # edge values into max/mean where the stock path does not.
+    import dataclasses as _dc
+
+    csr = _dc.replace(csr, data=None)
+    adj = Adjacency.from_csr(csr)
+    rng = np.random.default_rng(53)
+    x = jnp.asarray(rng.standard_normal((40, 8)).astype(np.float32))
+    for aggregator in ("mean", "pool"):
+        ours = GraphSAGE(dims=[8, 6, 3], aggregator=aggregator,
+                         dropout_rate=0.0, method="xla")
+        stock = SAGEStock(dims=[8, 6, 3], aggregator=aggregator,
+                          dropout_rate=0.0)
+        params = ours.init(jax.random.PRNGKey(5))
+        out_ours = ours.apply(params, adj, x)
+        out_stock = stock.apply(
+            params, SAGEStock.from_adjacency(adj, aggregator), x
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_ours), np.asarray(out_stock),
+            rtol=1e-4, atol=1e-4, err_msg=aggregator,
+        )
