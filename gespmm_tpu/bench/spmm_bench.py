@@ -25,6 +25,24 @@ from typing import List, Optional
 import numpy as np
 
 
+def _append_csv(csv_file: str, row: dict) -> None:
+    """Append a row; start a fresh file whenever the schema changes.
+
+    Mixing method/K sets across runs must not silently append rows whose
+    columns no longer match the file's header line.
+    """
+    header = ",".join(row.keys())
+    existing = None
+    if os.path.exists(csv_file):
+        with open(csv_file) as f:
+            existing = f.readline().rstrip("\n")
+    mode = "a" if existing == header else "w"
+    with open(csv_file, mode) as f:
+        if mode == "w":
+            f.write(header + "\n")
+        f.write(",".join(str(v) for v in row.values()) + "\n")
+
+
 def bench_graph(
     name: str,
     ks: List[int],
@@ -231,12 +249,7 @@ def bench_graph(
     for (K, method), v in results.items():
         row[f"K={K}-{method}-gflops"] = round(v.get("gflops", float("nan")), 2)
     if csv_file:
-        header = ",".join(row.keys())
-        write_header = not os.path.exists(csv_file)
-        with open(csv_file, "a") as f:
-            if write_header:
-                f.write(header + "\n")
-            f.write(",".join(str(v) for v in row.values()) + "\n")
+        _append_csv(csv_file, row)
     return row, results
 
 
@@ -326,12 +339,7 @@ def bench_sddmm_graph(
             v.get("gflops", float("nan")), 2
         )
     if csv_file:
-        header = ",".join(row.keys())
-        write_header = not os.path.exists(csv_file)
-        with open(csv_file, "a") as f:
-            if write_header:
-                f.write(header + "\n")
-            f.write(",".join(str(v) for v in row.values()) + "\n")
+        _append_csv(csv_file, row)
     return row, results
 
 
@@ -412,14 +420,7 @@ def _bench_one(g, args):
                     )["fraction_of_roofline"]
                     row[f"K={K}-roofline-frac"] = round(rf, 3)
                 if args.csv:
-                    header = ",".join(row.keys())
-                    write_header = not os.path.exists(args.csv)
-                    with open(args.csv, "a") as f:
-                        if write_header:
-                            f.write(header + "\n")
-                        f.write(
-                            ",".join(str(v) for v in row.values()) + "\n"
-                        )
+                    _append_csv(args.csv, row)
         print(json.dumps(row))
         errs = {
             f"K={k}-{m}": v["error"]

@@ -73,13 +73,24 @@ def _dleaky(x, slope):
     return jnp.where(x >= 0, 1.0, slope)
 
 
+def _pad2(X: Array) -> Array:
+    """Single-column slot-gather tables hit XLA's 1-D gather path, which
+    measures ~4.5x slower than any >=2-column table (7.2 vs 1.6 ns/slot
+    on v5e, scripts/gat_probe3.py) — pad (m, 1) tables to (m, 2)."""
+    if X.shape[1] != 1:
+        return X
+    return jnp.concatenate([X, jnp.zeros_like(X)], axis=1)
+
+
 def _slot_pre(part, src_pad, dst_pad):
     """Per-slot pre-activation logits src[r_e] + dst[c_e], both gathers
     hitting VMEM-sized tables (src sliced per part, dst per column
-    tile).  (S, 1) f32."""
-    s_slot = jnp.take(_part_rows_slice(part, src_pad), _slot_rows(part),
-                      axis=0)
-    d_slot = _tile_gather(part, dst_pad)
+    tile).  (S, H) f32."""
+    H = src_pad.shape[1]
+    s_slot = jnp.take(
+        _part_rows_slice(part, _pad2(src_pad)), _slot_rows(part), axis=0
+    )[:, :H]
+    d_slot = _tile_gather(part, _pad2(dst_pad))[:, :H]
     return s_slot + d_slot
 
 
@@ -126,17 +137,26 @@ def _forward(plan, src2, dst2, B, slope, interpret, max_mode="exact",
         mx = jnp.where(jnp.isfinite(mx), mx, 0.0)  # empty rows
 
     # Pass 2: z-weighted aggregate with per-head denominators as the
-    # last H columns.
+    # last H columns.  All row-space operands ([src | mx]) gather as ONE
+    # combined table, likewise all column-space operands ([dst | B]):
+    # each extra per-slot take costs a full ~1.6ns/slot pass (and 1-wide
+    # takes 7ns/slot, see _pad2), so table count — not table width — is
+    # what the pass pays for.
     KK = KB + H
     K_pad, kt = _fit_kt(plan, KK)
+    row_tbl = jnp.concatenate([src_pad, mx], axis=1)  # (m, 2H)
+    col_tbl = jnp.concatenate([dst_pad, B32], axis=1)  # (n, H + H*dh)
     out_parts, den_parts = [], []
     for part in plan.parts:
-        pre = _slot_pre(part, src_pad, dst_pad)
+        rt = jnp.take(
+            _part_rows_slice(part, row_tbl), _slot_rows(part), axis=0
+        )
+        ct = _tile_gather(part, col_tbl)
+        pre = rt[:, :H] + ct[:, :H]
         l = _leaky(pre, slope)
-        m_slot = jnp.take(_part_rows_slice(part, mx), _slot_rows(part),
-                          axis=0)
+        m_slot = rt[:, H:]
         z = jnp.exp(jnp.maximum(l - m_slot, _EXP_FLOOR))  # (S, H)
-        gb = _tile_gather(part, B32)  # (S, H*dh)
+        gb = ct[:, H:]  # (S, H*dh)
         z_rep = z if H == 1 and dh == 1 else jnp.repeat(z, dh, axis=1)
         stream = jnp.concatenate([gb * z_rep, z], axis=1)  # (S, KK)
         if K_pad > KK:
@@ -203,23 +223,34 @@ def _gat_bwd(slope, interpret, max_mode, heads, mode, res, g):
         return jnp.sum((a * b).reshape(S, H, dh), axis=-1)
 
     # Pass 3 (plan): d src_score — edge cotangent recomputed per slot.
+    # ONE combined row table ([src | mx | den | s_row | g]) and ONE
+    # combined column table ([dst | B]): per-slot take count is the cost
+    # (each ~1.6ns/slot; round 2 paid 5 row takes + 2 tile gathers here
+    # and the narrow ones ran 7ns/slot — that was the measured 9ms GAT
+    # backward wall).  Pass 4 reuses the SAME two tables with the roles
+    # swapped (plan_t's rows are original columns).
+    row_tbl = jnp.concatenate(
+        [src_pad, mx, den, s_row, g32], axis=1
+    )  # (m, 4H + KB)
+    col_tbl = jnp.concatenate([dst_pad, B32], axis=1)  # (n, H + KB)
     gsrc_parts = []
     for part in plan.parts:
-        pre = _slot_pre(part, src_pad, dst_pad)
+        rt = jnp.take(
+            _part_rows_slice(part, row_tbl), _slot_rows(part), axis=0
+        )
+        ct = _tile_gather(part, col_tbl)
+        pre = rt[:, :H] + ct[:, :H]
         l = _leaky(pre, slope)
-        rows = _slot_rows(part)
-        m_slot = jnp.take(_part_rows_slice(part, mx), rows, axis=0)
+        m_slot = rt[:, H : 2 * H]
         # Clamp: _part_rows_slice zero-pads den to m_pad, and INVALID
         # slots clamp onto those padded rows — an unguarded divide gives
         # inf whose NaN (inf·0 in the one-hot matmul) poisons the whole
         # reduce when m % part_rows != 0.
-        d_slot = jnp.maximum(
-            jnp.take(_part_rows_slice(part, den), rows, axis=0), _DENOM_EPS
-        )
-        s_slot = jnp.take(_part_rows_slice(part, s_row), rows, axis=0)
+        d_slot = jnp.maximum(rt[:, 2 * H : 3 * H], _DENOM_EPS)
+        s_slot = rt[:, 3 * H : 4 * H]
         alpha = jnp.exp(jnp.maximum(l - m_slot, _EXP_FLOOR)) / d_slot
-        g_slot = jnp.take(_part_rows_slice(part, g32), rows, axis=0)
-        u = _head_dot(g_slot, _tile_gather(part, B32))  # (S, H)
+        g_slot = rt[:, 4 * H :]
+        u = _head_dot(g_slot, ct[:, H:])  # (S, H)
         dpre = alpha * (u - s_slot) * _dleaky(pre, slope)
         gp = _reduce_part(
             dpre, part.local_rows, part.row_start, part.m_pad,
@@ -232,22 +263,24 @@ def _gat_bwd(slope, interpret, max_mode, heads, mode, res, g):
     # Pass 4 (plan_t): [dB | d dst_score] in one (H*dh + H)-wide reduce.
     # In transpose slot space the "rows" are original columns and the
     # tile gathers index original rows — every factor recomputed from
-    # the node tables, no permutes.
+    # the node tables, no permutes.  Tables swap roles: col_tbl is now
+    # row-indexed, row_tbl tile-gathered.
     KK = KB + H
     K_pad, kt = _fit_kt(plan_t, KK)
     gB_parts, gdst_parts = [], []
     for part in plan_t.parts:
-        rows_t = _slot_rows(part)
-        dstp = jnp.take(_part_rows_slice(part, dst_pad), rows_t, axis=0)
-        srcp = _tile_gather(part, src_pad)
-        pre = srcp + dstp
+        rt = jnp.take(
+            _part_rows_slice(part, col_tbl), _slot_rows(part), axis=0
+        )
+        ct = _tile_gather(part, row_tbl)
+        pre = ct[:, :H] + rt[:, :H]
         l = _leaky(pre, slope)
-        m_slot = _tile_gather(part, mx)
-        d_slot = jnp.maximum(_tile_gather(part, den), _DENOM_EPS)
-        s_slot = _tile_gather(part, s_row)
+        m_slot = ct[:, H : 2 * H]
+        d_slot = jnp.maximum(ct[:, 2 * H : 3 * H], _DENOM_EPS)
+        s_slot = ct[:, 3 * H : 4 * H]
         alpha = jnp.exp(jnp.maximum(l - m_slot, _EXP_FLOOR)) / d_slot
-        b_slot = jnp.take(_part_rows_slice(part, B32), rows_t, axis=0)
-        g_slot = _tile_gather(part, g32)
+        b_slot = rt[:, H:]
+        g_slot = ct[:, 4 * H :]
         u = _head_dot(g_slot, b_slot)
         dpre = alpha * (u - s_slot) * _dleaky(pre, slope)
         alpha_rep = alpha if H == 1 and dh == 1 else jnp.repeat(
@@ -277,8 +310,11 @@ def _slot_pre_dot(part, D1_pad, D2_pad):
     """Per-slot dot-product logits D1[r_e] · D2[c_e] — the SDDMM
     computed directly in slot order (no CSR back-permute; cf. the ~6
     ns/edge scatter `sddmm_tiled` pays to restore edge order)."""
-    d1 = jnp.take(_part_rows_slice(part, D1_pad), _slot_rows(part), axis=0)
-    d2 = _tile_gather(part, D2_pad)
+    Ka = D1_pad.shape[1]
+    d1 = jnp.take(
+        _part_rows_slice(part, _pad2(D1_pad)), _slot_rows(part), axis=0
+    )[:, :Ka]
+    d2 = _tile_gather(part, _pad2(D2_pad))[:, :Ka]
     return jnp.sum(d1 * d2, axis=-1, keepdims=True)
 
 
@@ -306,13 +342,22 @@ def _dot_forward(plan, D1, D2, B, slope, interpret):
 
     K_pad, kt = _fit_kt(plan, K + 1)
     Bc = _pad_cols(B32, K_pad - 1) if K_pad - 1 > K else B32
+    # Combined tables (see _forward): row [D1 | mx], col [D2 | B] — one
+    # take + one tile-gather per part instead of four.
+    Ka = D1p.shape[1]
+    row_tbl = jnp.concatenate([D1p, mx], axis=1)  # (m, Ka + 1)
+    col_tbl = jnp.concatenate([D2p, Bc], axis=1)  # (n, Ka + K_pad-1)
     out_parts, den_parts = [], []
     for part in plan.parts:
-        l = act(_slot_pre_dot(part, D1p, D2p))
-        m_slot = jnp.take(_part_rows_slice(part, mx), _slot_rows(part),
-                          axis=0)
+        rt = jnp.take(
+            _part_rows_slice(part, row_tbl), _slot_rows(part), axis=0
+        )
+        ct = _tile_gather(part, col_tbl)
+        pre = jnp.sum(rt[:, :Ka] * ct[:, :Ka], axis=-1, keepdims=True)
+        l = act(pre)
+        m_slot = rt[:, Ka:]
         z = jnp.exp(jnp.maximum(l - m_slot, _EXP_FLOOR))
-        gb = _tile_gather(part, Bc)
+        gb = ct[:, Ka:]
         stream = jnp.concatenate([gb * z, z], axis=1)
         res = _reduce_part(
             stream, part.local_rows, part.row_start, part.m_pad,
@@ -355,25 +400,31 @@ def _dot_bwd(slope, interpret, res, g):
     def dact(pre):
         return 1.0 if slope is None else _dleaky(pre, slope)
 
-    # Pass 3 (plan): grad_D1 — Ka-wide reduce of dpre · D2[c_e].
+    # Pass 3 (plan): grad_D1 — Ka-wide reduce of dpre · D2[c_e].  One
+    # combined row table [D1 | mx | den | s_row | g] and one combined
+    # column table [D2 | B]; pass 4 reuses them with roles swapped
+    # (same rationale as _gat_bwd — take COUNT is the pass cost).
+    row_tbl = jnp.concatenate(
+        [D1p, mx, den, s_row, g32], axis=1
+    )  # (m, Ka + 3 + K)
+    col_tbl = jnp.concatenate([D2p, B32], axis=1)  # (n, Ka + K)
     gD1_parts = []
     for part in plan.parts:
-        rows = _slot_rows(part)
-        d1s = jnp.take(_part_rows_slice(part, D1p), rows, axis=0)
-        d2s = _tile_gather(part, D2p)
+        rt = jnp.take(
+            _part_rows_slice(part, row_tbl), _slot_rows(part), axis=0
+        )
+        ct = _tile_gather(part, col_tbl)
+        d1s, d2s = rt[:, :Ka], ct[:, :Ka]
         pre = jnp.sum(d1s * d2s, axis=-1, keepdims=True)
         l = pre if slope is None else _leaky(pre, slope)
-        m_slot = jnp.take(_part_rows_slice(part, mx), rows, axis=0)
+        m_slot = rt[:, Ka : Ka + 1]
         # Clamp: see _gat_bwd — padded den rows are zero and invalid
         # slots clamp onto them.
-        d_slot = jnp.maximum(
-            jnp.take(_part_rows_slice(part, den), rows, axis=0), _DENOM_EPS
-        )
-        s_slot = jnp.take(_part_rows_slice(part, s_row), rows, axis=0)
+        d_slot = jnp.maximum(rt[:, Ka + 1 : Ka + 2], _DENOM_EPS)
+        s_slot = rt[:, Ka + 2 : Ka + 3]
         alpha = jnp.exp(jnp.maximum(l - m_slot, _EXP_FLOOR)) / d_slot
-        g_slot = jnp.take(_part_rows_slice(part, g32), rows, axis=0)
-        u = jnp.sum(g_slot * _tile_gather(part, B32), axis=-1,
-                    keepdims=True)
+        g_slot = rt[:, Ka + 3 :]
+        u = jnp.sum(g_slot * ct[:, Ka:], axis=-1, keepdims=True)
         dpre = alpha * (u - s_slot) * dact(pre)
         gp = _reduce_part(
             dpre * d2s, part.local_rows, part.row_start, part.m_pad,
@@ -388,17 +439,19 @@ def _dot_bwd(slope, interpret, res, g):
     K_pad, kt = _fit_kt(plan_t, KK)
     gB_parts, gD2_parts = [], []
     for part in plan_t.parts:
-        rows_t = _slot_rows(part)
-        d2s = jnp.take(_part_rows_slice(part, D2p), rows_t, axis=0)
-        d1s = _tile_gather(part, D1p)
+        rt = jnp.take(
+            _part_rows_slice(part, col_tbl), _slot_rows(part), axis=0
+        )
+        ct = _tile_gather(part, row_tbl)
+        d2s, d1s = rt[:, :Ka], ct[:, :Ka]
         pre = jnp.sum(d1s * d2s, axis=-1, keepdims=True)
         l = pre if slope is None else _leaky(pre, slope)
-        m_slot = _tile_gather(part, mx)
-        d_slot = _tile_gather(part, den)
-        s_slot = _tile_gather(part, s_row)
+        m_slot = ct[:, Ka : Ka + 1]
+        d_slot = jnp.maximum(ct[:, Ka + 1 : Ka + 2], _DENOM_EPS)
+        s_slot = ct[:, Ka + 2 : Ka + 3]
         alpha = jnp.exp(jnp.maximum(l - m_slot, _EXP_FLOOR)) / d_slot
-        b_slot = jnp.take(_part_rows_slice(part, B32), rows_t, axis=0)
-        g_slot = _tile_gather(part, g32)
+        b_slot = rt[:, Ka:]
+        g_slot = ct[:, Ka + 3 :]
         u = jnp.sum(g_slot * b_slot, axis=-1, keepdims=True)
         dpre = alpha * (u - s_slot) * dact(pre)
         stream = jnp.concatenate([alpha * g_slot, dpre * d1s], axis=1)

@@ -202,8 +202,14 @@ def _reduce_part(
     K_pad = contrib.shape[1]
     n_k = K_pad // k_tile
     # Plans pad C to CHUNK_GROUP (16); older explicit plans may
-    # only be 4-aligned.
-    G = 16 if C % 16 == 0 else (4 if C % 4 == 0 else 1)
+    # only be 4-aligned.  The group amortizes the TPU pipeline's ~1us
+    # per-grid-step cost; in interpret mode (CPU tests) there is no such
+    # cost and a 16-way unrolled body only multiplies trace/compile time,
+    # so group stays 1 there.
+    if interpret:
+        G = 1
+    else:
+        G = 16 if C % 16 == 0 else (4 if C % 4 == 0 else 1)
 
     kernel = functools.partial(
         _reduce_kernel, rows_per_block=rows_per_block, mode=mode, group=G,

@@ -14,13 +14,13 @@ oracle_mat = sp.csr_matrix((np.ones(csr.nnz, np.float32), np.asarray(csr.indices
 # K=512 exercises the restructured multi-K-tile path; K=128 the single-tile.
 for K in (128, 512):
     B = jnp.asarray(rng.standard_normal((csr.shape[1], K)).astype(np.float32))
-    out = jax.jit(gt.spmm, static_argnames=("method",))(adj, B, method="pallas")
+    out = jax.jit(gt.spmm, static_argnames=("method",))(adj, B, method="tiled")
     err = np.abs(np.asarray(out) - oracle_mat @ np.asarray(B)).max()
     print(f"K={K} pallas err: {err:.2e}", flush=True)
     assert err < 1e-4
 # max-reduce path + grad
 B = jnp.asarray(rng.standard_normal((csr.shape[1], 128)).astype(np.float32))
-outm = jax.jit(lambda b: gt.spmm(adj, b, reduce="max", method="pallas"))(B)
+outm = jax.jit(lambda b: gt.spmm(adj, b, reduce="max", method="tiled"))(B)
 Bn = np.asarray(B)
 indptr, indices = np.asarray(csr.indptr), np.asarray(csr.indices)
 gold_max = np.zeros((csr.shape[0], Bn.shape[1]), np.float32)
@@ -33,7 +33,7 @@ print(f"max-reduce err: {errm:.2e}", flush=True)
 assert errm < 1e-4
 # bf16 path
 Bb = B.astype(jnp.bfloat16)
-outb = jax.jit(gt.spmm, static_argnames=("method",))(adj, Bb, method="pallas")
+outb = jax.jit(gt.spmm, static_argnames=("method",))(adj, Bb, method="tiled")
 assert outb.dtype == jnp.bfloat16 and bool(jnp.isfinite(outb.astype(jnp.float32)).all())
 print("bf16 ok", flush=True)
 print("VERIFY_DRIVE_PASSED", flush=True)
