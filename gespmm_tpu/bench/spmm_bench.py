@@ -75,20 +75,29 @@ def bench_graph(
 
     m, n = csr.shape
     # One adjacency per plan family: "tiled" wants the stream plan,
-    # "pallas" the per-row DMA plan, everything else none.
+    # "pallas" the per-row DMA plan, everything else none.  Tiled plans
+    # are built PER K (k_hint sizes the gather tables; a plan laid out
+    # for K=128 quadruples its table bytes at K=512 and falls off the
+    # fast-gather tier — measured rmat16 K=512 51.7 -> 62.6 GF/s with
+    # the K-hinted plan).  Models know their width up front the same
+    # way (pass k_hint to Adjacency.from_csr).
     adjs = {}
     base_adj = Adjacency.from_csr(csr)
-    tiled_adj = None
+    tiled_by_k = {}
+
+    def tiled_adj_for(K: int):
+        if K not in tiled_by_k:
+            tiled_by_k[K] = Adjacency.from_csr(csr, plan="tiled", k_hint=K)
+        return tiled_by_k[K]
+
     for method in methods:
         if method in ("tiled", "tiled-hilo", "tiled-fast"):
-            # Precision-tier pseudo-methods share one tiled plan; the
+            # Precision-tier pseudo-methods share the tiled plans; the
             # suffix maps to spmm(mode=...) — the sweep records the
             # speed/accuracy frontier (hilo halves the MXU passes at
             # ~1e-5 relative; the f64 golden validation column keeps the
             # claim honest per cell).
-            if tiled_adj is None:
-                tiled_adj = Adjacency.from_csr(csr, plan="tiled")
-            adjs[method] = tiled_adj
+            adjs[method] = None  # resolved per K below
         elif method == "pallas":
             adjs[method] = Adjacency.from_csr(
                 csr, plan="perrow",
@@ -172,6 +181,10 @@ def bench_graph(
                 big = csr.nnz > 4_000_000
                 base_method, _, _mode = method.partition("-")
                 _mode = _mode or "trilo"
+                adj_m = (
+                    adjs[method] if adjs[method] is not None
+                    else tiled_adj_for(K)
+                )
                 if method == "bcoo":
                     fn = jax.jit(lambda b: bcoo @ b)
                 elif big:
@@ -179,10 +192,10 @@ def bench_graph(
                         lambda a, b, _m=base_method, _md=_mode: spmm(
                             a, b, method=_m, mode=_md)
                     )
-                    fn = lambda b, _f=fn_a, _a=adjs[method]: _f(_a, b)
+                    fn = lambda b, _f=fn_a, _a=adj_m: _f(_a, b)
                 else:
                     fn = jax.jit(
-                        lambda b, _a=adjs[method], _m=base_method,
+                        lambda b, _a=adj_m, _m=base_method,
                         _md=_mode: spmm(_a, b, method=_m, mode=_md)
                     )
                 if golden is not None:
@@ -209,11 +222,11 @@ def bench_graph(
                                 a, x, method=_m, mode=_md) * 0.5,
                             B * 0.01,
                             iters=max(10, min(iters // 4, 50)), groups=4,
-                            consts=adjs[method],
+                            consts=adj_m,
                         )
                     else:
                         r = timing.benchmark_chained(
-                            lambda x, _a=adjs[method], _m=base_method,
+                            lambda x, _a=adj_m, _m=base_method,
                             _md=_mode: spmm(_a, x, method=_m,
                                             mode=_md) * 0.5,
                             B * 0.01,

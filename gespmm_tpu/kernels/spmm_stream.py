@@ -48,6 +48,15 @@ from gespmm_tpu.sparse.partition import TiledPartPlan, TiledSpmmPlan
 
 Array = jax.Array
 
+# HBM cap for the materialized gathered-contribution stream; K is
+# processed in slabs when S*K*itemsize exceeds it (spmm_tiled).  Each
+# slab pass re-gathers every slot, so fewer/wider slabs win as long as
+# the stream fits device memory (v5e: 16GB HBM; 4GB leaves room for the
+# operands, the f32 accumulator, and the caller's live buffers —
+# measured rmat16 K=512: one 3.9GB stream beats 2x2GB slabs 62.6 vs
+# 51.7 GF/s with the K-hinted plan).
+_STREAM_BUDGET = 4 << 30
+
 
 def _round_up(x: int, a: int) -> int:
     return -(-x // a) * a
@@ -313,7 +322,7 @@ def spmm_tiled(
     # each slab is an independent gather+reduce over a column slice of B.
     item = 2 if (B.dtype == jnp.bfloat16 and data is None) else 4
     slots_max = max(p.num_slots for p in plan.parts)
-    stream_budget = 2 << 30
+    stream_budget = _STREAM_BUDGET
     if slots_max * item * K > stream_budget and K > 128:
         k_slab = max(128, (stream_budget // (slots_max * item) // 128) * 128)
         outs = []
@@ -531,13 +540,15 @@ def spmm_minmax_vjp_tiled(
     )[: out.shape[0], :K]
 
     # Phase 2: weight stream over the transpose plan.  g/ties is folded
-    # into ONE row-space table up front, so the per-slot weight needs a
-    # single tile-gather where round 2 paid two (g AND ties).
+    # into ONE row-space table up front, and [out | g/ties] tile-gathers
+    # as ONE combined column table (each extra per-slot gather is a full
+    # ~1.6ns/slot pass — table count, not width, is what a pass pays for).
     g_over_ties = g32 / jnp.maximum(ties, 1.0)
     K_pad_t, kt_t = _fit_kt(plan_t, K)
     Bpt = _pad_cols(B32, K_pad_t)
-    outpt = _pad_cols(out32, K_pad_t)
-    gtpt = _pad_cols(g_over_ties, K_pad_t)
+    og_tbl = jnp.concatenate(
+        [_pad_cols(out32, K_pad_t), _pad_cols(g_over_ties, K_pad_t)], axis=1
+    )
     grad_parts = []
     gd = None if data is None else jnp.zeros((nnz + 1,), jnp.float32)
     for part in plan_t.parts:
@@ -548,8 +559,9 @@ def spmm_minmax_vjp_tiled(
         b_slot = jnp.take(_part_rows_slice(part, Bpt), _slot_rows(part),
                           axis=0)
         contrib = b_slot if vals_slot is None else b_slot * vals_slot[:, None]
-        out_slot = _tile_gather(part, outpt)
-        gt_slot = _tile_gather(part, gtpt)
+        og = _tile_gather(part, og_tbl)
+        out_slot = og[:, :K_pad_t]
+        gt_slot = og[:, K_pad_t:]
         valid = _slot_valid(part)
         eq = (contrib == out_slot) & valid[:, None]
         w = jnp.where(eq, gt_slot, 0.0)

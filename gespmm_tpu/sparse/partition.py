@@ -505,10 +505,14 @@ def build_tiled_plan(
     auto_layout = col_tile is None
     if col_tile is None:
         # A SINGLE tile (whole B as the gather table) wins whenever it
-        # fits the fast-gather tier (~36MB measured on v5e): no piece
-        # concatenation, no chunk breaks at tile boundaries (measured:
-        # pubmed 66->76, rmat14 56->85, rmat16 58->84 GF/s at K=128).
-        if n * 4 * max(k_hint, 1) <= (36 << 20):
+        # fits the fast-gather tier: no piece concatenation, no chunk
+        # breaks at tile boundaries (measured: pubmed 66->76, rmat14
+        # 56->85, rmat16 58->84 GF/s at K=128).  The fast tier extends
+        # to ~44MB tables (pubmed K=512's 40MB single table runs 134
+        # GF/s vs 73 for the 8192-row multi-tile layout); the cliff is
+        # somewhere below 64MB (rmat16 K=512's 64MB slab tables lose to
+        # 16MB multi-tile ones, 52 vs 63 GF/s).
+        if n * 4 * max(k_hint, 1) <= (44 << 20):
             col_tile = max(n, 1)
         else:
             # Multi-tile: the per-row gather cost rises steeply with the
@@ -539,7 +543,12 @@ def build_tiled_plan(
             R = int(min(512, max(128,
                 -(-int(3.6 * E / max(density, 1e-9)) // 8) * 8)))
         else:
-            R = int(min(1024, max(256, -(-int(1.6 * E / max(density, 1e-9)) // 8) * 8)))
+            # Single-tile: the one-hot scatter costs ~3·R·kt MACs per
+            # slot — LINEAR in R — while window padding only bites once
+            # R·density drops near E (measured v5e: pubmed K=128 78->90
+            # GF/s and rmat16 87->97 lowering the floor 256->64; padding
+            # flat until R=48).
+            R = int(min(1024, max(64, -(-int(1.6 * E / max(density, 1e-9)) // 8) * 8)))
     else:
         R = int(rows_per_block)
     if R % 8 or E % 8:
