@@ -10,9 +10,15 @@ import os
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+if "xla_backend_optimization_level" not in flags:
+    # The suite is compile-time-bound (hundreds of distinct interpret-mode
+    # Pallas programs, each traced into a large XLA:CPU graph); dialing the
+    # backend optimization level down is an ~8x compile speedup on the
+    # heaviest tests with no effect on what the tests assert.  Production
+    # TPU paths never see this flag.
+    flags = (flags + " --xla_backend_optimization_level=1").strip()
+os.environ["XLA_FLAGS"] = flags
 
 import jax  # noqa: E402
 
