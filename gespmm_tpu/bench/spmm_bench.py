@@ -395,6 +395,9 @@ def main(argv=None):
         try:
             _bench_one(g, args)
         except Exception as e:  # pragma: no cover
+            import traceback
+
+            traceback.print_exc(file=sys.stderr)
             print(json.dumps({"data": g, "errors": {"fatal": str(e)[:300]}}),
                   file=sys.stderr)
     return

@@ -67,6 +67,7 @@ def _reduce_kernel(
     local_rows_ref,  # (G, 1, E) VMEM
     contrib_ref,  # (G*E, k_tile) VMEM (streamed)
     out_ref,  # (m_pad, k_tile) VMEM-resident accumulator
+    ties_ref=None,  # (m_pad, k_tile) VMEM-resident tie counts (max/min)
     *,
     rows_per_block: int,
     mode: str,
@@ -85,9 +86,12 @@ def _reduce_kernel(
         m_pad, ktile = out_ref.shape
         z = min(m_pad, 4096)
         fill = jnp.full((z, ktile), init_val, out_ref.dtype)
+        zfill = jnp.zeros((z, ktile), out_ref.dtype)
         for r0 in range(0, m_pad, z):
             rows = min(z, m_pad - r0)
             out_ref[r0 : r0 + rows, :] = fill[:rows]
+            if ties_ref is not None:
+                ties_ref[r0 : r0 + rows, :] = zfill[:rows]
 
     def dot(p, g):
         return jax.lax.dot_general(
@@ -134,6 +138,17 @@ def _reduce_kernel(
             # 32-bit types, so comparisons happen AFTER the reshape.
             lr_c = lr[:, None]  # (E, 1) int32
             vals = jnp.where(lr_c < R, g32, ident)
+            # Tie counting rides the same scan as a (value, count) pair
+            # monoid: combine((m1,c1),(m2,c2)) = c1+c2 if m1==m2 else the
+            # count of the winning side.  Exact: counts are small ints
+            # and value comparisons are bitwise (the scan preserves exact
+            # f32 values).  Emitted so the max/min VJP can skip its
+            # tie-recount stream entirely (phase 1 of
+            # spmm_minmax_vjp_tiled).
+            cnt = (
+                jnp.where(lr_c < R, 1.0, 0.0) * jnp.ones((1, ktile))
+                if ties_ref is not None else None
+            )
             s = 1
             while s < E:
                 prev = jnp.concatenate(
@@ -143,7 +158,19 @@ def _reduce_kernel(
                 prev_lr_c = jnp.concatenate(
                     [jnp.full((s, 1), -1, lr.dtype), lr_c[:-s]], axis=0
                 )
-                vals = jnp.where(lr_c == prev_lr_c, fold(vals, prev), vals)
+                same = lr_c == prev_lr_c
+                if cnt is not None:
+                    prev_cnt = jnp.concatenate(
+                        [jnp.zeros((s, ktile), cnt.dtype), cnt[:-s]], axis=0
+                    )
+                    prev_wins = (
+                        prev > vals if op == "max" else prev < vals
+                    )
+                    cnt = jnp.where(
+                        same & (prev == vals), cnt + prev_cnt,
+                        jnp.where(same & prev_wins, prev_cnt, cnt),
+                    )
+                vals = jnp.where(same, fold(vals, prev), vals)
                 s *= 2
             nxt_lr_c = jnp.concatenate(
                 [lr_c[1:], jnp.full((1, 1), -1, lr.dtype)], axis=0
@@ -160,9 +187,25 @@ def _reduce_kernel(
             has = jnp.sum(onehot.astype(jnp.float32), axis=1)  # (R,)
             rs = pl.multiple_of(row_start_ref[cg * group + i], 8)
             cur = out_ref[pl.ds(rs, R), :]
+            hasb = has[:, None] > 0
             out_ref[pl.ds(rs, R), :] = jnp.where(
-                has[:, None] > 0, fold(cur, folded), cur
+                hasb, fold(cur, folded), cur
             )
+            if cnt is not None:
+                # hi/lo bf16 split is exact for integer counts < 2^16
+                # (a chunk contributes at most E achievers per row).
+                p = onehot.astype(jnp.bfloat16)
+                sel_cnt = jnp.where(last_c, cnt, 0.0)
+                hi = sel_cnt.astype(jnp.bfloat16)
+                lo = (sel_cnt - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+                folded_cnt = dot(p, hi) + dot(p, lo)
+                wins = folded > cur if op == "max" else folded < cur
+                curt = ties_ref[pl.ds(rs, R), :]
+                ties_ref[pl.ds(rs, R), :] = jnp.where(
+                    hasb & wins, folded_cnt,
+                    jnp.where(hasb & (folded == cur),
+                              curt + folded_cnt, curt),
+                )
             continue
 
         onehot = rows_iota == lr[None, :]
@@ -194,7 +237,7 @@ def _reduce_kernel(
 
 @functools.partial(
     jax.jit, static_argnames=("m_pad", "rows_per_block", "k_tile",
-                              "mode", "interpret", "op")
+                              "mode", "interpret", "op", "want_ties")
 )
 def _reduce_part(
     contrib: Array,  # (S, K_pad)
@@ -206,7 +249,8 @@ def _reduce_part(
     mode: str,
     interpret: bool,
     op: str = "sum",
-) -> Array:
+    want_ties: bool = False,
+):
     C, E = local_rows.shape
     K_pad = contrib.shape[1]
     n_k = K_pad // k_tile
@@ -233,7 +277,12 @@ def _reduce_part(
     # grid the window's index map varied with the K step and Pallas
     # double-buffered it — that halved the budget and collapsed the
     # K=512 roofline fractions to 0.10-0.34 in round 2.)
+    acc_spec = lambda: pl.BlockSpec(  # noqa: E731
+        (m_pad, k_tile), lambda cg, rs: (0, 0), memory_space=pltpu.VMEM
+    )
+    acc_shape = jax.ShapeDtypeStruct((m_pad, k_tile), jnp.float32)
     outs = []
+    ties = []
     for kti in range(n_k):
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,  # row_start
@@ -245,15 +294,16 @@ def _reduce_part(
                              lambda cg, rs, _k=kti: (cg, _k),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec(
-                (m_pad, k_tile), lambda cg, rs: (0, 0),
-                memory_space=pltpu.VMEM,
+            out_specs=(
+                [acc_spec(), acc_spec()] if want_ties else acc_spec()
             ),
         )
-        outs.append(pl.pallas_call(
+        res = pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
-            out_shape=jax.ShapeDtypeStruct((m_pad, k_tile), jnp.float32),
+            out_shape=(
+                [acc_shape, acc_shape] if want_ties else acc_shape
+            ),
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("arbitrary",),
                 # The resident accumulator (m_pad x k_tile) plus streamed
@@ -267,8 +317,16 @@ def _reduce_part(
                 transcendentals=0,
             ),
             interpret=interpret,
-        )(row_start, lr3, contrib))
-    return outs[0] if n_k == 1 else jnp.concatenate(outs, axis=1)
+        )(row_start, lr3, contrib)
+        if want_ties:
+            outs.append(res[0])
+            ties.append(res[1])
+        else:
+            outs.append(res)
+    out = outs[0] if n_k == 1 else jnp.concatenate(outs, axis=1)
+    if not want_ties:
+        return out
+    return out, ties[0] if n_k == 1 else jnp.concatenate(ties, axis=1)
 
 
 def _gather_part(
@@ -301,7 +359,8 @@ def spmm_tiled(
     mode: str = "trilo",
     interpret: Optional[bool] = None,
     reduce: str = "sum",
-) -> Array:
+    want_ties: bool = False,
+):
     """SpMM via tiled gather + streaming VMEM reduction.
 
     ``data``: per-edge values in CSR order, or None for implicit 1.0.
@@ -310,9 +369,15 @@ def spmm_tiled(
       (sum only — max/min use an exact segmented scan + one-hot select).
     ``reduce``: "sum" | "max" | "min".  Empty rows produce 0 under every
     monoid (matching ops/reference semantics).
+    ``want_ties`` (max/min only): also return the (m, K) f32 count of
+    edges achieving each output value — the in-kernel pair-monoid scan
+    lets the VJP (`spmm_minmax_vjp_tiled`) skip its tie-recount stream.
+    Returns ``out`` or ``(out, ties)``.
     """
     if reduce not in ("sum", "max", "min"):
         raise ValueError(f"spmm_tiled reduce must be sum/max/min, got {reduce!r}")
+    if want_ties and reduce == "sum":
+        raise ValueError("want_ties requires reduce='max' or 'min'")
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     n, K = B.shape
@@ -330,7 +395,11 @@ def spmm_tiled(
             outs.append(spmm_tiled(
                 plan, data, B[:, k0 : k0 + k_slab], m, k_tile=k_tile,
                 mode=mode, interpret=interpret, reduce=reduce,
+                want_ties=want_ties,
             ))
+        if want_ties:
+            return (jnp.concatenate([o[0] for o in outs], axis=1),
+                    jnp.concatenate([o[1] for o in outs], axis=1))
         return jnp.concatenate(outs, axis=1)
     # bf16 inputs with implicit-1.0 edges: one bf16 MXU pass is EXACT
     # (the contributions already carry no more than bf16 precision), and
@@ -342,8 +411,10 @@ def spmm_tiled(
     # Max K per pass, capped so the resident accumulator (m_pad x kt x
     # 4B) stays within ~64MB of VMEM for the largest part (streamed chunk
     # buffers and the scoped limit take the rest of the 128MB on v5e).
+    # want_ties keeps a second resident accumulator — halve the budget.
     m_pad_max = max(p.m_pad for p in plan.parts)
-    budget_rows = (64 * 1024 * 1024) // max(m_pad_max * 4, 1)
+    acc_budget = (32 if want_ties else 64) * 1024 * 1024
+    budget_rows = acc_budget // max(m_pad_max * 4, 1)
     kt_max = min(k_tile, max(128, (budget_rows // 128) * 128))
     kt_max = max(128, (kt_max // 128) * 128)
     if K <= kt_max:
@@ -361,6 +432,7 @@ def spmm_tiled(
             Bc = jnp.pad(Bc, ((0, 0), (0, K_pad - K)))
 
     outs = []
+    ties = []
     for part in plan.parts:
         kt = min(kt_max, K_pad)
         while K_pad % kt:
@@ -376,13 +448,20 @@ def spmm_tiled(
             mode,
             interpret,
             op=reduce,
+            want_ties=want_ties,
         )
+        if want_ties:
+            out_p, ties_p = out_p
+            ties.append(ties_p[: part.m_part])
         outs.append(out_p[: part.m_part])
     out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, 0)
     out = out[:m, :K]
     if reduce in ("max", "min"):
         # Rows with no nonzeros still hold the ±inf identity.
         out = jnp.where(jnp.isfinite(out), out, 0.0)
+    if want_ties:
+        t = ties[0] if len(ties) == 1 else jnp.concatenate(ties, 0)
+        return out.astype(B.dtype), t[:m, :K]
     return out.astype(B.dtype)
 
 
@@ -490,6 +569,7 @@ def spmm_minmax_vjp_tiled(
     op: str,
     *,
     interpret: Optional[bool] = None,
+    ties: Optional[Array] = None,
 ):
     """Gradients of max/min-reduce SpMM through the stream plans.
 
@@ -499,8 +579,10 @@ def spmm_minmax_vjp_tiled(
     Semantics match jnp.max's VJP (even tie-splitting), i.e. the XLA path
     `ops/reference.spmm_max_vjp_edges` — but the two nnz×K reductions run
     through the VMEM-resident stream kernel instead of XLA segment ops:
-      1. ties(r,k) = #achieving edges — indicator stream over `plan`,
-         sum-reduced ("fast" mode is exact for 0/1 values);
+      1. ties(r,k) = #achieving edges — taken from the forward when it
+         ran with ``want_ties=True`` (the in-kernel pair-monoid count),
+         else recounted here: indicator stream over `plan`, sum-reduced
+         ("fast" mode is exact for 0/1 values);
       2. grad_B(c,k) = Σ val·g/ties over achieving edges — weight stream
          over `plan_t` (edges grouped by column), sum-reduced.
     Achievement tests are bitwise-exact: contributions are recomputed with
@@ -515,29 +597,30 @@ def spmm_minmax_vjp_tiled(
     out32 = out.astype(jnp.float32)
     g32 = g.astype(jnp.float32)
 
-    # Phase 1: tie counts over the forward plan.  The 0/1 indicator
-    # streams as bf16 — exact for 0/1, and the "fast" reduce consumes
-    # bf16 on the MXU anyway — halving this pass's HBM bytes.
-    K_pad, kt = _fit_kt(plan, K)
-    Bp = _pad_cols(B32, K_pad)
-    outp = _pad_cols(out32, K_pad)
-    ties_parts = []
-    for part in plan.parts:
-        contrib = _gather_part(part, data, Bp)
-        out_slot = jnp.take(_part_rows_slice(part, outp), _slot_rows(part),
-                            axis=0)
-        ind = (
-            (contrib == out_slot) & _slot_valid(part)[:, None]
-        ).astype(jnp.bfloat16)
-        tp = _reduce_part(
-            ind, part.local_rows, part.row_start, part.m_pad,
-            part.rows_per_block, kt, "fast", interpret, op="sum",
-        )
-        ties_parts.append(tp[: part.m_part])
-    ties = (
-        ties_parts[0] if len(ties_parts) == 1
-        else jnp.concatenate(ties_parts, 0)
-    )[: out.shape[0], :K]
+    if ties is None:
+        # Phase 1: tie counts over the forward plan.  The 0/1 indicator
+        # streams as bf16 — exact for 0/1, and the "fast" reduce consumes
+        # bf16 on the MXU anyway — halving this pass's HBM bytes.
+        K_pad, kt = _fit_kt(plan, K)
+        Bp = _pad_cols(B32, K_pad)
+        outp = _pad_cols(out32, K_pad)
+        ties_parts = []
+        for part in plan.parts:
+            contrib = _gather_part(part, data, Bp)
+            out_slot = jnp.take(_part_rows_slice(part, outp),
+                                _slot_rows(part), axis=0)
+            ind = (
+                (contrib == out_slot) & _slot_valid(part)[:, None]
+            ).astype(jnp.bfloat16)
+            tp = _reduce_part(
+                ind, part.local_rows, part.row_start, part.m_pad,
+                part.rows_per_block, kt, "fast", interpret, op="sum",
+            )
+            ties_parts.append(tp[: part.m_part])
+        ties = (
+            ties_parts[0] if len(ties_parts) == 1
+            else jnp.concatenate(ties_parts, 0)
+        )[: out.shape[0], :K]
 
     # Phase 2: weight stream over the transpose plan.  g/ties is folded
     # into ONE row-space table up front, and [out | g/ties] tile-gathers

@@ -318,16 +318,33 @@ def _spmm_core(cfg, indptr, indices, rows, t_indptr, t_indices, t_rows,
 
 def _spmm_core_fwd(cfg, indptr, indices, rows, t_indptr, t_indices, t_rows,
                    perm, plan, plan_t, data, B):
-    out = _forward(cfg, indptr, indices, data, plan, B, rows=rows)
-    keep_out = out if cfg.reduce in ("max", "min") else None
+    ties = None
+    if cfg.reduce in ("max", "min"):
+        # On the tiled path, the forward's pair-monoid scan emits the
+        # per-(row, k) tie counts for free — the VJP then skips its
+        # tie-recount stream (phase 1 of spmm_minmax_vjp_tiled).
+        from gespmm_tpu.sparse.partition import TiledSpmmPlan
+
+        method = _resolve_method(cfg.method, plan, B.shape[-1])
+        if method == "tiled" and isinstance(plan, TiledSpmmPlan):
+            from gespmm_tpu.kernels.spmm_stream import spmm_tiled
+
+            out, ties = spmm_tiled(plan, data, B, cfg.m, reduce=cfg.reduce,
+                                   mode=cfg.mode, want_ties=True)
+        else:
+            out = _forward(cfg, indptr, indices, data, plan, B, rows=rows)
+        keep_out = out
+    else:
+        out = _forward(cfg, indptr, indices, data, plan, B, rows=rows)
+        keep_out = None
     res = (indptr, indices, rows, t_indptr, t_indices, t_rows, perm,
-           plan, plan_t, data, B, keep_out)
+           plan, plan_t, data, B, keep_out, ties)
     return out, res
 
 
 def _spmm_core_bwd(cfg, res, g):
     (indptr, indices, rows, t_indptr, t_indices, t_rows, perm, plan,
-     plan_t, data, B, out) = res
+     plan_t, data, B, out, ties) = res
     nnz = indices.shape[0]
 
     if cfg.reduce == "sum":
@@ -361,7 +378,8 @@ def _spmm_core_bwd(cfg, res, g):
 
             csc_data = None if data is None else data[perm]
             gd_csc, grad_B = spmm_minmax_vjp_tiled(
-                plan, plan_t, data, csc_data, B, out, g, cfg.reduce
+                plan, plan_t, data, csc_data, B, out, g, cfg.reduce,
+                ties=ties,
             )
             grad_data = None
             if gd_csc is not None:

@@ -309,6 +309,55 @@ def test_spmm_tiled_max_edge_value_grad():
     )
 
 
+@pytest.mark.parametrize("op", ["max", "min"])
+def test_spmm_tiled_want_ties_counts_and_grads(op):
+    # Quantized B forces REAL ties (several edges achieving the row
+    # max/min exactly); the in-kernel pair-monoid count must equal a
+    # dense recount, and the grad (which consumes the emitted ties via
+    # the even-split rule) must match the dense oracle.
+    csr, mat = random_csr(48, 40, density=0.15, seed=27, binary=True)
+    adj = Adjacency.from_csr(csr, plan=True, col_tile=16, rows_per_block=8,
+                             chunk_nnz=8, part_rows=24)
+    rng = np.random.default_rng(27)
+    B = jnp.asarray(
+        np.round(rng.standard_normal((40, 8)) * 2).astype(np.float32) / 2
+    )
+    out, ties = spmm_tiled(
+        adj.plan, None, B, 48, interpret=True, reduce=op, want_ties=True
+    )
+    dense = np.asarray(mat.toarray() != 0)
+    contrib = np.where(dense[:, :, None], np.asarray(B)[None], np.nan)
+    red = np.nanmax if op == "max" else np.nanmin
+    with np.errstate(all="ignore"):
+        golden = red(contrib, axis=1)
+    golden_ties = np.nansum(
+        (contrib == golden[:, None, :]).astype(np.float32), axis=1
+    )
+    golden_out = np.where(np.isnan(golden), 0.0, golden)
+    np.testing.assert_allclose(np.asarray(out), golden_out, rtol=1e-6,
+                               atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(ties), golden_ties)
+    assert (np.asarray(ties).max(initial=0)) > 1, "test graph has no ties"
+
+    ident = -jnp.inf if op == "max" else jnp.inf
+    redj = jnp.max if op == "max" else jnp.min
+    A = jnp.asarray(dense.astype(np.float32))
+    mask = jnp.asarray(dense)
+
+    def loss_sparse(b):
+        return jnp.sum(jnp.sin(spmm(adj, b, reduce=op, method="tiled")))
+
+    def loss_dense(b):
+        c = jnp.where(mask[:, :, None], A[:, :, None] * b[None], ident)
+        o = redj(c, axis=1)
+        return jnp.sum(jnp.sin(jnp.where(jnp.isfinite(o), o, 0.0)))
+
+    g1 = jax.grad(loss_sparse)(B)
+    g2 = jax.grad(loss_dense)(B)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-4,
+                               atol=1e-5)
+
+
 def test_explicit_method_strictness():
     csr, _ = random_csr(32, 32, density=0.1, seed=26)
     adj_plain = Adjacency.from_csr(csr)
