@@ -26,21 +26,25 @@ import numpy as np
 
 
 def _append_csv(csv_file: str, row: dict) -> None:
-    """Append a row; start a fresh file whenever the schema changes.
-
-    Mixing method/K sets across runs must not silently append rows whose
-    columns no longer match the file's header line.
+    """Append a row; start a fresh file whenever the schema changes;
+    REPLACE any existing row for the same graph (one row per graph —
+    re-running a subset must not leave stale duplicates, the round-3
+    sddmm_sweep.csv defect).
     """
     header = ",".join(row.keys())
-    existing = None
+    lines = []
     if os.path.exists(csv_file):
         with open(csv_file) as f:
-            existing = f.readline().rstrip("\n")
-    mode = "a" if existing == header else "w"
-    with open(csv_file, mode) as f:
-        if mode == "w":
-            f.write(header + "\n")
-        f.write(",".join(str(v) for v in row.values()) + "\n")
+            lines = f.read().splitlines()
+    if not lines or lines[0] != header:
+        lines = [header]
+    key = str(row["data"]) + ","
+    lines = [lines[0]] + [
+        ln for ln in lines[1:] if not ln.startswith(key)
+    ]
+    lines.append(",".join(str(v) for v in row.values()))
+    with open(csv_file, "w") as f:
+        f.write("\n".join(lines) + "\n")
 
 
 def bench_graph(
@@ -63,15 +67,16 @@ def bench_graph(
     from gespmm_tpu.ops.spmm import Adjacency, spmm
     from gespmm_tpu.sparse.partition import build_spmm_plan
     from gespmm_tpu.utils import timing
-    from gespmm_tpu.utils.datasets import find_graph, load_mtx_graph, rmat_graph
+    from gespmm_tpu.utils.datasets import (
+        find_graph, load_mtx_graph, synth_graph,
+    )
 
     if find_graph(name):
         csr = load_mtx_graph(name, binary=True)
-    elif name.startswith("rmat"):
-        scale = int(name.removeprefix("rmat")) if name != "rmat" else scale_if_synth
-        csr = rmat_graph(scale=scale, edge_factor=16, seed=seed)
     else:
-        raise FileNotFoundError(name)
+        csr = synth_graph(name, seed=seed)
+        if csr is None:
+            raise FileNotFoundError(name)
 
     m, n = csr.shape
     # One adjacency per plan family: "tiled" wants the stream plan,
@@ -117,6 +122,17 @@ def bench_graph(
         s = str(e)
         return "RESOURCE_EXHAUSTED" in s or "Ran out of memory" in s
 
+    def mem_mb() -> float:
+        try:
+            st = jax.devices()[0].memory_stats() or {}
+            return st.get("bytes_in_use", 0) / 1e6
+        except Exception:
+            return float("nan")
+
+    def progress(msg: str) -> None:
+        print(f"[bench {name}] {msg} (dev {mem_mb():.0f} MB)",
+              file=sys.stderr, flush=True)
+
     _A64 = [None]
 
     def _golden_mat():
@@ -135,34 +151,81 @@ def bench_graph(
             )
         return _A64[0]
 
-    for K_req in ks:
-        # OOM-halving retry, ≙ the reference's max_ncols halving loop
-        # (`spmm_test.cu:619-634`): if a width doesn't fit, benchmark the
-        # largest power-of-two fraction that does and record the fallback.
-        K = K_req
-        while K >= 1:
+    def release_device_memory():
+        # Drop dead executables AND their pinned closure constants; a
+        # failed width leaves per-K plan arrays + compiled programs
+        # resident, which is exactly what starves the retry (the round-3
+        # rmat18/rmat20 fatal: the handler's B re-alloc OOM'd against
+        # the garbage of the failed K=512 attempt).
+        import gc
+
+        tiled_by_k.clear()
+        gc.collect()
+        jax.clear_caches()
+        # Tunneled PJRT runtimes process deallocations asynchronously;
+        # a tiny round-trip computation fences the free queue so the
+        # next allocation sees the reclaimed space.
+        try:
+            float(jnp.zeros((8,)).sum())
+        except Exception:
+            pass
+
+    def alloc_B(K):
+        # OOM-halving allocation, ≙ the reference's max_ncols halving
+        # loop (`spmm_test.cu:619-634`); used for BOTH the initial
+        # allocation and the in-retry re-allocation so an OOM here can
+        # never escape the sweep.
+        while True:
             try:
-                B = jnp.asarray(
+                b = jnp.asarray(
                     rng.standard_normal((n, K)).astype(np.float32)
                 )
-                jax.block_until_ready(B)
-                break
+                jax.block_until_ready(b)
+                return b, K
             except Exception as e:
                 if not is_oom(e) or K == 1:
                     raise
+                release_device_memory()
                 K //= 2
-        def make_golden(Bcur):
-            # Opt-in golden check, ≙ `#define VALIDATE` + the CPU triple
-            # loop at `spmm_test.cu:595-604,671-698`.  float64 golden +
-            # mixed abs/rel tolerance: f32 accumulation of a degree-d row
-            # carries ~eps*sqrt(d)*|row| of inherent order noise, so a
-            # pure absolute tolerance misflags every high-degree row.
-            if not validate:
-                return None
-            return _golden_mat() @ np.asarray(Bcur).astype(np.float64)
 
-        golden = make_golden(B)
+    def make_golden(Bcur):
+        # Opt-in golden check, ≙ `#define VALIDATE` + the CPU triple
+        # loop at `spmm_test.cu:595-604,671-698`.  float64 golden +
+        # mixed abs/rel tolerance: f32 accumulation of a degree-d row
+        # carries ~eps*sqrt(d)*|row| of inherent order noise, so a
+        # pure absolute tolerance misflags every high-degree row.
+        if not validate:
+            return None
+        return _golden_mat() @ np.asarray(Bcur).astype(np.float64)
+
+    for K_req in ks:
+        progress(f"K={K_req}: allocating B")
+        try:
+            B0, K0 = alloc_B(K_req)
+            golden0 = make_golden(B0)
+        except Exception as e:  # pragma: no cover
+            for method in methods:
+                results[(K_req, method)] = {"error": str(e)[:200]}
+            release_device_memory()
+            continue
         for method in methods:
+          # Width is PER CELL: one method's OOM fallback must not shrink
+          # the widths later methods are measured at.
+          K, B, golden = K0, B0, golden0
+          if method == "bcoo":
+              # Predictive cap: the stock BCOO matmul materializes an
+              # (nnz, K) contribution stream; run the widest power-of-2
+              # fraction whose stream fits, instead of letting a 13GB+
+              # attempt fatally fragment the device.  ≙ the merge-spmm
+              # max_ncols ladder in `run_test.sh:12-16`.
+              while csr.nnz * K * 4 > (6 << 30) and K > 1:
+                  K //= 2
+              if K != K0:
+                  progress(f"K={K_req} bcoo: pre-capped to width {K}")
+                  B = jnp.asarray(
+                      rng.standard_normal((n, K)).astype(np.float32)
+                  )
+                  golden = make_golden(B)
           # One retry absorbs transient remote-compile failures (the
           # tunneled compile service occasionally 500s).  OOM halves K and
           # retries without consuming the attempt; when attempts run out
@@ -171,6 +234,7 @@ def bench_graph(
           attempts = 2
           while True:
             try:
+                progress(f"K={K_req} method={method} (width {K})")
                 # Large graphs pass the adjacency as a jit ARGUMENT:
                 # inlining plan arrays as literals makes 100MB+ compile
                 # payloads that the remote compile service rejects.
@@ -200,8 +264,20 @@ def bench_graph(
                     )
                 if golden is not None:
                     got = np.asarray(fn(B)).astype(np.float64)
+                    gold_cell = golden
+                    if _mode == "fast":
+                        # The fast tier's contract is "exact sum of
+                        # bf16-rounded contributions": validate against
+                        # the f64 golden of bf16-rounded inputs (vs the
+                        # raw-f32 golden it is ~4e-2 in the quantization
+                        # tail by construction, not by kernel error).
+                        Bq = np.asarray(
+                            jnp.asarray(B).astype(jnp.bfloat16)
+                        ).astype(np.float64)
+                        gold_cell = _golden_mat() @ Bq
                     err = float(
-                        (np.abs(got - golden) / (1.0 + np.abs(golden))).max()
+                        (np.abs(got - gold_cell)
+                         / (1.0 + np.abs(gold_cell))).max()
                     )
                     if err > tol:
                         results[(K_req, method)] = {
@@ -237,26 +313,47 @@ def bench_graph(
                     r = timing.benchmark(lambda: fn(B), iters=iters)
                     t = r.median_s
                 gf = timing.spmm_flops(csr.nnz, K) / t / 1e9
-                results[(K_req, method)] = {
+                cell = {
                     "ms": t * 1e3,
                     "gflops": gf,
                     "nnz_per_s": csr.nnz / t,
                     **({"k_fallback": K} if K != K_req else {}),
                 }
+                if base_method == "tiled":
+                    from gespmm_tpu.kernels.spmm_stream import (
+                        stream_plan_stats,
+                    )
+
+                    it = 2 if _mode == "fast" else 4
+                    slots, n_slabs = stream_plan_stats(adj_m.plan, K, it)
+                    cell.update(slots=slots, n_slabs=n_slabs,
+                                stream_item=it)
+                results[(K_req, method)] = cell
                 break
             except Exception as e:  # pragma: no cover
+                fn = adj_m = None
+                if K != K0:
+                    B = golden = None
+                release_device_memory()
                 if is_oom(e) and K > 1:
-                    K //= 2
-                    B = jnp.asarray(
-                        rng.standard_normal((n, K)).astype(np.float32)
-                    )
-                    golden = make_golden(B)
+                    progress(f"K={K_req} method={method}: OOM at width "
+                             f"{K}, halving")
+                    try:
+                        B, K = alloc_B(K // 2)
+                        golden = make_golden(B)
+                    except Exception as e2:
+                        results[(K_req, method)] = {"error": str(e2)[:200]}
+                        break
                     continue
                 attempts -= 1
                 if attempts > 0:
                     continue
                 results[(K_req, method)] = {"error": str(e)[:200]}
                 break
+        # Per-K plan layouts (k_hint-sized gather tables) are useless to
+        # the next K; keep the sweep's resident set to one width.
+        tiled_by_k.clear()
+        B0 = golden0 = None
 
     row = {"data": name, "m": m, "n": n, "nnz": csr.nnz}
     for (K, method), v in results.items():
@@ -270,7 +367,7 @@ def bench_sddmm_graph(
     name: str,
     ks: List[int],
     iters: int = 200,
-    methods=("xla", "tiled", "pallas"),
+    methods=("xla", "tiled"),
     csv_file: Optional[str] = None,
     seed: int = 0,
     validate: bool = False,
@@ -291,15 +388,16 @@ def bench_sddmm_graph(
     from gespmm_tpu.ops.sddmm import sddmm
     from gespmm_tpu.ops.spmm import Adjacency
     from gespmm_tpu.utils import timing
-    from gespmm_tpu.utils.datasets import find_graph, load_mtx_graph, rmat_graph
+    from gespmm_tpu.utils.datasets import (
+        find_graph, load_mtx_graph, synth_graph,
+    )
 
     if find_graph(name):
         csr = load_mtx_graph(name, binary=True)
-    elif name.startswith("rmat"):
-        csr = rmat_graph(scale=int(name.removeprefix("rmat")), edge_factor=16,
-                         seed=seed)
     else:
-        raise FileNotFoundError(name)
+        csr = synth_graph(name, seed=seed)
+        if csr is None:
+            raise FileNotFoundError(name)
     m, n = csr.shape
     adj = Adjacency.from_csr(csr, plan=True)
     rng = np.random.default_rng(seed)
@@ -370,7 +468,7 @@ def main(argv=None):
     p.add_argument("--iters", type=int, default=200)
     p.add_argument("--methods", nargs="+",
                default=["xla", "tiled", "bcoo"],
-               help="tiers: xla | tiled | pallas | bcoo")
+               help="tiers: xla | tiled | tiled-hilo | tiled-fast | pallas | scatter | bcoo")
     p.add_argument("--csv", default="spmm_bench_out.csv")
     p.add_argument("--rows-per-block", type=int, default=64)
     p.add_argument("--chunk-nnz", type=int, default=64)
@@ -379,7 +477,7 @@ def main(argv=None):
     p.add_argument("--tol", type=float, default=2e-3,
                help="max |out-golden64|/(1+|golden64|); f32 accumulation noise on high-degree hub rows reaches ~5e-4 for any implementation (reference validates at 1e-2)")
     p.add_argument("--sddmm", action="store_true",
-                   help="benchmark SDDMM tiers (xla/tiled/pallas) instead "
+                   help="benchmark SDDMM tiers (xla/tiled) instead "
                         "of SpMM")
     p.add_argument("--roofline", action="store_true",
                    help="append K=<k>-roofline-frac columns (fraction of "
@@ -409,8 +507,8 @@ def _bench_one(g, args):
             row, results = bench_sddmm_graph(
                 g, args.k, iters=args.iters,
                 methods=tuple(
-                    m for m in args.methods if m in ("xla", "tiled", "pallas")
-                ) or ("xla", "tiled", "pallas"),
+                    m for m in args.methods if m in ("xla", "tiled")
+                ) or ("xla", "tiled"),
                 csv_file=args.csv, validate=args.validate, tol=args.tol,
             )
         else:
@@ -421,7 +519,9 @@ def _bench_one(g, args):
                 validate=args.validate, tol=args.tol,
             )
             if args.roofline:
-                from gespmm_tpu.utils.profiling import spmm_roofline
+                from gespmm_tpu.utils.profiling import (
+                    spmm_roofline, spmm_stream_roofline,
+                )
 
                 for K in args.k:
                     best = min(
@@ -435,6 +535,22 @@ def _bench_one(g, args):
                         row["nnz"], row["m"], K, best * 1e-3
                     )["fraction_of_roofline"]
                     row[f"K={K}-roofline-frac"] = round(rf, 3)
+                    # Implementation-bound frac: best TILED cell vs the
+                    # two-phase stream algorithm's own speed of light
+                    # (the gap to the ideal column = fusion headroom).
+                    tiled_cells = [
+                        v for (kk, meth), v in results.items()
+                        if kk == K and "slots" in v
+                        and v.get("k_fallback", K) == K
+                    ]
+                    if tiled_cells:
+                        bt = min(tiled_cells, key=lambda v: v["ms"])
+                        sf = spmm_stream_roofline(
+                            row["nnz"], row["m"], K, bt["ms"] * 1e-3,
+                            slots=bt["slots"], n_slabs=bt["n_slabs"],
+                            stream_item=bt["stream_item"],
+                        )["fraction_of_roofline"]
+                        row[f"K={K}-stream-roofline-frac"] = round(sf, 3)
                 if args.csv:
                     _append_csv(args.csv, row)
         print(json.dumps(row))

@@ -14,12 +14,3 @@ def spmm_kernel_available() -> bool:
         return True
     except Exception:
         return False
-
-
-def sddmm_kernel_available() -> bool:
-    try:
-        from gespmm_tpu.kernels import sddmm_pallas  # noqa: F401
-
-        return True
-    except Exception:
-        return False

@@ -333,9 +333,14 @@ def _gather_part(
     part: TiledPartPlan,
     data: Optional[Array],
     B: Array,
+    stream_dtype=None,
 ) -> Array:
     """XLA gather phase: per column tile, take rows of a VMEM-sized slice
-    of B; scale by edge values while still in registers."""
+    of B; scale by edge values while still in registers.
+
+    ``stream_dtype``: dtype of the MATERIALIZED contribution stream (the
+    kernel's HBM input).  bf16 halves the stream's write+read traffic —
+    the dominant cost at large K — and is what mode="fast" rides."""
     vals = None
     if data is not None:
         vals = jnp.take(data, part.src, axis=0)
@@ -345,6 +350,8 @@ def _gather_part(
         g = jnp.take(tile, part.lcols[slot0:slot1], axis=0)
         if vals is not None:
             g = g * vals[slot0:slot1, None].astype(g.dtype)
+        if stream_dtype is not None and g.dtype != stream_dtype:
+            g = g.astype(stream_dtype)
         pieces.append(g)
     return pieces[0] if len(pieces) == 1 else jnp.concatenate(pieces, 0)
 
@@ -378,6 +385,16 @@ def spmm_tiled(
         raise ValueError(f"spmm_tiled reduce must be sum/max/min, got {reduce!r}")
     if want_ties and reduce == "sum":
         raise ValueError("want_ties requires reduce='max' or 'min'")
+    if want_ties:
+        # The kernel's hi/lo bf16 split of per-chunk tie counts is exact
+        # only for integers < 2^16; a chunk contributes at most E
+        # achievers per row, so E bounds the count.
+        bad = max(p.chunk_nnz for p in plan.parts)
+        if bad >= 65536:
+            raise ValueError(
+                f"want_ties requires chunk_nnz < 65536 (got {bad}): "
+                "per-chunk tie counts ride an exact hi/lo bf16 split"
+            )
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     n, K = B.shape
@@ -385,7 +402,10 @@ def spmm_tiled(
     # HBM; at large K × multi-million-slot plans that exceeds device
     # memory (rmat18 K=512: 17 GB).  Bound it by processing K in slabs —
     # each slab is an independent gather+reduce over a column slice of B.
-    item = 2 if (B.dtype == jnp.bfloat16 and data is None) else 4
+    item = 2 if (
+        (B.dtype == jnp.bfloat16 and data is None)
+        or (mode == "fast" and reduce == "sum")
+    ) else 4
     slots_max = max(p.num_slots for p in plan.parts)
     stream_budget = _STREAM_BUDGET
     if slots_max * item * K > stream_budget and K > 128:
@@ -408,6 +428,12 @@ def spmm_tiled(
         Bc, mode = B, "fast"
     else:
         Bc = B.astype(jnp.float32)
+    # mode="fast" with sum: the kernel consumes one bf16 MXU pass anyway,
+    # so materialize the stream in bf16 — halves its write+read HBM
+    # traffic (the large-K wall; see docs/PERF.md roofline analysis).
+    stream_dtype = (
+        jnp.bfloat16 if (mode == "fast" and reduce == "sum") else None
+    )
     # Max K per pass, capped so the resident accumulator (m_pad x kt x
     # 4B) stays within ~64MB of VMEM for the largest part (streamed chunk
     # buffers and the scoped limit take the rest of the 128MB on v5e).
@@ -437,7 +463,7 @@ def spmm_tiled(
         kt = min(kt_max, K_pad)
         while K_pad % kt:
             kt -= 128
-        contrib = _gather_part(part, data, Bc)
+        contrib = _gather_part(part, data, Bc, stream_dtype=stream_dtype)
         out_p = _reduce_part(
             contrib,
             part.local_rows,
@@ -463,6 +489,19 @@ def spmm_tiled(
         t = ties[0] if len(ties) == 1 else jnp.concatenate(ties, 0)
         return out.astype(B.dtype), t[:m, :K]
     return out.astype(B.dtype)
+
+
+def stream_plan_stats(plan: TiledSpmmPlan, K: int, item: int = 4):
+    """(slots_total, n_slabs) the stream kernel would run at width K —
+    inputs to the implementation-bound roofline
+    (`utils/profiling.spmm_stream_roofline`)."""
+    slots = plan.num_slots
+    slots_max = max(p.num_slots for p in plan.parts)
+    n_slabs = 1
+    if slots_max * item * K > _STREAM_BUDGET and K > 128:
+        k_slab = max(128, (_STREAM_BUDGET // (slots_max * item) // 128) * 128)
+        n_slabs = -(-K // k_slab)
+    return slots, n_slabs
 
 
 def edge_segment_reduce(

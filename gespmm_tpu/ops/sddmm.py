@@ -36,15 +36,17 @@ def _forward(cfg: _SddmmConfig, rows, cols, D1, D2) -> Array:
     method = cfg.method
     if method == "auto":
         # Measured on v5e: XLA's fused gather-dot wins outright (pubmed
-        # K=64: 0.15ms vs 1.28ms for the per-edge-DMA Pallas kernel —
-        # scattered DMA is descriptor-issue-bound; XLA's take is VMEM-fast
-        # whenever the operand tables are modest).  The Pallas kernel
-        # remains an explicit tier.
+        # K=64: 0.15ms; the per-edge-DMA Pallas kernel measured 1.28ms
+        # across two rounds — scattered DMA is descriptor-issue-bound —
+        # and was deleted in round 4 per VERDICT r3; the slot-layout
+        # `tiled` tier in kernels/spmm_stream.sddmm_tiled remains the
+        # kernel alternative).
         method = "xla"
-    if method == "pallas":
-        from gespmm_tpu.kernels.sddmm_pallas import sddmm_pallas
-
-        return sddmm_pallas(rows, cols, D1, D2)
+    if method != "xla":
+        raise ValueError(
+            f"unknown sddmm method {method!r} (auto | xla | tiled; tiled "
+            "needs an Adjacency with plan=True)"
+        )
     return ref.sddmm_xla(rows, cols, D1, D2)
 
 

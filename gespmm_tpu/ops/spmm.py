@@ -326,7 +326,14 @@ def _spmm_core_fwd(cfg, indptr, indices, rows, t_indptr, t_indices, t_rows,
         from gespmm_tpu.sparse.partition import TiledSpmmPlan
 
         method = _resolve_method(cfg.method, plan, B.shape[-1])
-        if method == "tiled" and isinstance(plan, TiledSpmmPlan):
+        # Same gate as the backward (which also requires a tiled
+        # TRANSPOSE plan): emitting ties a non-tiled backward would
+        # ignore pays a second resident accumulator for nothing.
+        if (
+            method == "tiled"
+            and isinstance(plan, TiledSpmmPlan)
+            and isinstance(plan_t, TiledSpmmPlan)
+        ):
             from gespmm_tpu.kernels.spmm_stream import spmm_tiled
 
             out, ties = spmm_tiled(plan, data, B, cfg.m, reduce=cfg.reduce,

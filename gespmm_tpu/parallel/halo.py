@@ -255,6 +255,46 @@ def _uniform_tiled_plans(
     return cfg, arrays
 
 
+def _sliced_uniform_plans(
+    slabs, out_rows: int, table_rows: int, nnz_pad: int,
+    part_budget: Optional[int] = None, **kw,
+):
+    """Split a block's OUTPUT rows into windows that fit the stream
+    kernel's VMEM accumulator budget, building one uniform plan per
+    window — the multi-part generalization (VERDICT r3 #10) of the
+    single-part `_uniform_tiled_plans`.  Returns (cfgs, arrs) tuples of
+    equal length; window i owns output rows [i·w, min((i+1)·w, out_rows)).
+    """
+    budget = part_budget if part_budget is not None else _MAX_PART_ROWS
+    if out_rows <= budget:
+        cfg, arr = _uniform_tiled_plans(slabs, out_rows, table_rows,
+                                        nnz_pad, **kw)
+        return (cfg,), (arr,)
+    n_slices = -(-out_rows // budget)
+    w = -(-out_rows // n_slices)
+    w = -(-w // 8) * 8  # 8-aligned windows keep the kernel's row tiles
+    cfgs, arrs = [], []
+    for r0 in range(0, out_rows, w):
+        r1 = min(r0 + w, out_rows)
+        sub = []
+        for indptr, indices, src_map in slabs:
+            s, e = int(indptr[r0]), int(indptr[r1])
+            sub_ip = (indptr[r0 : r1 + 1] - indptr[r0]).astype(np.int32)
+            sub_ind = indices[s:e]
+            # Edge DATA stays indexed in the shard's FULL edge order, so
+            # an implicit (None) map must become the slice's offset range.
+            sub_map = (
+                np.arange(s, e, dtype=np.int32)
+                if src_map is None else src_map[s:e]
+            )
+            sub.append((sub_ip, sub_ind, sub_map))
+        cfg, arr = _uniform_tiled_plans(sub, r1 - r0, table_rows,
+                                        nnz_pad, **kw)
+        cfgs.append(cfg)
+        arrs.append(arr)
+    return tuple(cfgs), tuple(arrs)
+
+
 # ---------------------------------------------------------------------------
 # Local tiled SpMM with custom VJP (runs inside shard_map)
 # ---------------------------------------------------------------------------
@@ -282,6 +322,28 @@ def _fit_kt_local(cfg: LocalTiledCfg, K: int):
     return K_pad, kt
 
 
+def _block_contrib(cfg: LocalTiledCfg, lcols, src, edata, B32):
+    """Per-slot contribution stream: tile-gather of B32 rows, scaled by
+    runtime edge values fetched through ``src`` when the cfg carries
+    them.  Shared by the sum forward, the minmax forward, and the minmax
+    backward's bitwise-exact achievement recompute."""
+    contrib = _gather_slots(cfg, lcols, B32)
+    if cfg.with_vals:
+        K = B32.shape[1]
+        v = jnp.take(edata.astype(jnp.float32), src, axis=0, mode="fill",
+                     fill_value=0.0)
+        if cfg.heads > 1:
+            # Head-blocked B: per-head edge values (nnz_pad, H) repeat
+            # across each head's dh feature columns.
+            v = jnp.repeat(v, K // cfg.heads, axis=1)
+            if v.shape[1] < contrib.shape[1]:  # K padding columns
+                v = jnp.pad(v, ((0, 0), (0, contrib.shape[1] - v.shape[1])))
+            contrib = contrib * v
+        else:
+            contrib = contrib * v[:, None]
+    return contrib
+
+
 def _tiled_apply(cfg: LocalTiledCfg, lcols, local_rows, row_start, src,
                  edata, B):
     """One shard's stream-reduce SpMM over its uniform plan slice.
@@ -297,19 +359,7 @@ def _tiled_apply(cfg: LocalTiledCfg, lcols, local_rows, row_start, src,
     B32 = B.astype(jnp.float32)
     if K_pad != K:
         B32 = jnp.pad(B32, ((0, 0), (0, K_pad - K)))
-    contrib = _gather_slots(cfg, lcols, B32)
-    if cfg.with_vals:
-        v = jnp.take(edata.astype(jnp.float32), src, axis=0, mode="fill",
-                     fill_value=0.0)
-        if cfg.heads > 1:
-            # Head-blocked B: per-head edge values (nnz_pad, H) repeat
-            # across each head's dh feature columns.
-            v = jnp.repeat(v, K // cfg.heads, axis=1)
-            if v.shape[1] < contrib.shape[1]:  # K padding columns
-                v = jnp.pad(v, ((0, 0), (0, contrib.shape[1] - v.shape[1])))
-            contrib = contrib * v
-        else:
-            contrib = contrib * v[:, None]
+    contrib = _block_contrib(cfg, lcols, src, edata, B32)
     out = _reduce_part(
         contrib, local_rows, row_start, cfg.m_pad, cfg.rows_per_block,
         kt, cfg.mode, interpret, op="sum",
@@ -317,66 +367,264 @@ def _tiled_apply(cfg: LocalTiledCfg, lcols, local_rows, row_start, src,
     return out[: cfg.out_rows, :K].astype(B.dtype)
 
 
+def _apply_slices(cfgs, arrs, edata, B):
+    """Concatenate the per-window stream SpMMs of a (possibly multi-part)
+    block.  One window for blocks within the VMEM accumulator budget;
+    several when the shard exceeds it (VERDICT r3 #10)."""
+    outs = [
+        _tiled_apply(c, a.lcols, a.local_rows, a.row_start, a.src, edata, B)
+        for c, a in zip(cfgs, arrs)
+    ]
+    return outs[0] if len(outs) == 1 else jnp.concatenate(outs, 0)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
-def _local_tiled(cfg_f: LocalTiledCfg, cfg_b: LocalTiledCfg,
-                 lcols_f, lrows_f, rstart_f, src_f,
-                 lcols_b, lrows_b, rstart_b, src_b, edata, B):
-    """Differentiable per-shard tiled SpMM.  Backward w.r.t. B runs the
-    transposed local block through the same kernel; backward w.r.t. the
-    runtime edge values is the per-slot SDDMM dual grad_val[e] =
+def _local_tiled(cfgs_f, cfgs_b, arrs_f, arrs_b, edata, B):
+    """Differentiable per-shard tiled SpMM (``cfgs``/``arrs`` are
+    per-output-window tuples).  Backward w.r.t. B runs the transposed
+    local block through the same kernel; backward w.r.t. the runtime
+    edge values is the per-slot SDDMM dual grad_val[e] =
     Σ_k g[row_e]·B[col_e] scattered through ``src``."""
-    return _tiled_apply(cfg_f, lcols_f, lrows_f, rstart_f, src_f, edata, B)
+    return _apply_slices(cfgs_f, arrs_f, edata, B)
 
 
-def _local_tiled_fwd(cfg_f, cfg_b, lcols_f, lrows_f, rstart_f, src_f,
-                     lcols_b, lrows_b, rstart_b, src_b, edata, B):
-    out = _tiled_apply(cfg_f, lcols_f, lrows_f, rstart_f, src_f, edata, B)
-    return out, (lcols_f, lrows_f, rstart_f, src_f,
-                 lcols_b, lrows_b, rstart_b, src_b, edata, B)
+def _local_tiled_fwd(cfgs_f, cfgs_b, arrs_f, arrs_b, edata, B):
+    out = _apply_slices(cfgs_f, arrs_f, edata, B)
+    return out, (arrs_f, arrs_b, edata, B)
 
 
-def _local_tiled_bwd(cfg_f, cfg_b, res, g):
-    (lcols_f, lrows_f, rstart_f, src_f,
-     lcols_b, lrows_b, rstart_b, src_b, edata, B) = res
-    # cfg_b.out_rows == the forward's table row count, so grad_B already
-    # has B's shape; cotangent dtype matches B's.
-    grad_B = _tiled_apply(cfg_b, lcols_b, lrows_b, rstart_b, src_b, edata, g)
-    zeros = (None, None, None, None, None, None, None, None)
-    if not cfg_f.with_vals:
+def _local_tiled_bwd(cfgs_f, cfgs_b, res, g):
+    arrs_f, arrs_b, edata, B = res
+    # Each backward window's gather table is the FULL forward output
+    # (cfg_b.tile_slices index into g), so grad_B windows concatenate to
+    # B's shape; cotangent dtype matches B's.
+    grad_B = _apply_slices(cfgs_b, arrs_b, edata, g)
+    zeros = (None, None)
+    if not cfgs_f[0].with_vals:
         return zeros + (jnp.zeros_like(edata), grad_B)
     # grad_val in the forward slot layout: b_slot · g_slot summed over
-    # each head's feature block (all of K when heads == 1).
-    g32 = g.astype(jnp.float32)
-    if g32.shape[0] < cfg_f.m_pad:
-        g32 = jnp.pad(g32, ((0, cfg_f.m_pad - g32.shape[0]), (0, 0)))
-    b_slot = _gather_slots(cfg_f, lcols_f, B.astype(jnp.float32))
-    R = cfg_f.rows_per_block
-    slot_rows = jnp.minimum(
-        (rstart_f[:, None] + lrows_f).reshape(-1), cfg_f.m_pad - 1
-    )
-    g_slot = jnp.take(g32, slot_rows, axis=0)
-    H = cfg_f.heads
-    if H > 1:
-        S = b_slot.shape[0]
-        dh = B.shape[1] // H
-        prod = jnp.sum(
-            (b_slot * g_slot).reshape(S, H, dh), axis=-1
-        )  # (S, H)
-    else:
-        prod = jnp.sum(b_slot * g_slot, axis=-1)
-    valid = (lrows_f < R).reshape(-1)
-    # Barrier: XLA:TPU intermittently miscompiles scatters whose update
-    # operand is a fused product of gathers (see ops/reference).
-    prod = jax.lax.optimization_barrier(prod)
+    # each head's feature block (all of K when heads == 1); forward
+    # windows own disjoint edge sets, so per-window scatter-sets compose.
+    H = cfgs_f[0].heads
     trail = () if H == 1 else (H,)
-    gd = jnp.zeros((cfg_f.nnz_pad + 1,) + trail, jnp.float32).at[
-        jnp.where(valid, src_f, cfg_f.nnz_pad)
-    ].set(prod)
+    gd = jnp.zeros((cfgs_f[0].nnz_pad + 1,) + trail, jnp.float32)
+    B32 = B.astype(jnp.float32)
+    off = 0
+    for cfg_f, af in zip(cfgs_f, arrs_f):
+        g32 = g[off : off + cfg_f.out_rows].astype(jnp.float32)
+        off += cfg_f.out_rows
+        if g32.shape[0] < cfg_f.m_pad:
+            g32 = jnp.pad(g32, ((0, cfg_f.m_pad - g32.shape[0]), (0, 0)))
+        b_slot = _gather_slots(cfg_f, af.lcols, B32)
+        R = cfg_f.rows_per_block
+        slot_rows = jnp.minimum(
+            (af.row_start[:, None] + af.local_rows).reshape(-1),
+            cfg_f.m_pad - 1,
+        )
+        g_slot = jnp.take(g32, slot_rows, axis=0)
+        if H > 1:
+            S = b_slot.shape[0]
+            dh = B.shape[1] // H
+            prod = jnp.sum(
+                (b_slot * g_slot).reshape(S, H, dh), axis=-1
+            )  # (S, H)
+        else:
+            prod = jnp.sum(b_slot * g_slot, axis=-1)
+        valid = (af.local_rows < R).reshape(-1)
+        # Barrier: XLA:TPU intermittently miscompiles scatters whose
+        # update operand is a fused product of gathers (see ops/reference).
+        prod = jax.lax.optimization_barrier(prod)
+        gd = gd.at[jnp.where(valid, af.src, cfg_f.nnz_pad)].set(prod)
     grad_edata = gd[: edata.shape[0]].astype(edata.dtype)
     return zeros + (grad_edata, grad_B)
 
 
 _local_tiled.defvjp(_local_tiled_fwd, _local_tiled_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Local tiled max/min with joint diag+halo tie semantics (inside shard_map)
+# ---------------------------------------------------------------------------
+
+
+def _minmax_block_raw(op, cfg, arr, edata, B, want_ties):
+    """One block window's raw max/min reduction (±inf identities kept)
+    through the stream kernel; optionally with the in-kernel tie counts."""
+    from gespmm_tpu.kernels.spmm_stream import _reduce_part
+
+    interpret = jax.default_backend() != "tpu"
+    K = B.shape[1]
+    K_pad, kt = _fit_kt_local(cfg, K)
+    B32 = B.astype(jnp.float32)
+    if K_pad != K:
+        B32 = jnp.pad(B32, ((0, 0), (0, K_pad - K)))
+    contrib = _block_contrib(cfg, arr.lcols, arr.src, edata, B32)
+    return _reduce_part(
+        contrib, arr.local_rows, arr.row_start, cfg.m_pad,
+        cfg.rows_per_block, kt, "trilo", interpret, op=op,
+        want_ties=want_ties,
+    )
+
+
+def _minmax_fwd_raw(op, cfgs_df, cfgs_hf, arrs_df, arrs_hf,
+                    dv, hv, B_shard, halo_tbl, want_ties):
+    """Joint diag+halo raw extremum per output window, concatenated.
+    The diag and halo forward blocks share the same window boundaries
+    (both slice the shard's rpp output rows under the same budget)."""
+    fold = jnp.maximum if op == "max" else jnp.minimum
+    K = B_shard.shape[1]
+    raws, ties = [], []
+    for cfg_d, cfg_h, ad, ah in zip(cfgs_df, cfgs_hf, arrs_df, arrs_hf):
+        rows = cfg_d.out_rows
+        rd = _minmax_block_raw(op, cfg_d, ad, dv, B_shard, want_ties)
+        rh = _minmax_block_raw(op, cfg_h, ah, hv, halo_tbl, want_ties)
+        if want_ties:
+            (od, td), (oh, th) = rd, rh
+        else:
+            od, oh = rd, rh
+        raw = fold(od[:rows, :K], oh[:rows, :K])
+        raws.append(raw)
+        if want_ties:
+            # Joint tie counts: a block's achievers achieve the joint
+            # extremum iff the block's extremum equals it (empty blocks
+            # hold ±inf and never match a finite joint value).
+            ties.append(
+                jnp.where(od[:rows, :K] == raw, td[:rows, :K], 0.0)
+                + jnp.where(oh[:rows, :K] == raw, th[:rows, :K], 0.0)
+            )
+    raw = raws[0] if len(raws) == 1 else jnp.concatenate(raws, 0)
+    if not want_ties:
+        return raw
+    return raw, ties[0] if len(ties) == 1 else jnp.concatenate(ties, 0)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4))
+def _local_tiled_minmax(op, cfgs_df, cfgs_db, cfgs_hf, cfgs_hb,
+                        arrs_df, arrs_db, arrs_hf, arrs_hb,
+                        dv, hv, B_shard, halo_tbl):
+    """Per-shard max/min SpMM over the diag + halo blocks with JOINT
+    even tie-splitting (matching jnp.max's VJP across ALL achieving
+    edges of a row, not per block) — the distributed counterpart of
+    `spmm_minmax_vjp_tiled`.  ≙ the reference's max kernel family
+    (`dgl-custom/binary_reduce_max.cu:18-207`) in the sharded regime.
+    """
+    raw = _minmax_fwd_raw(op, cfgs_df, cfgs_hf, arrs_df, arrs_hf,
+                          dv, hv, B_shard, halo_tbl, False)
+    out = jnp.where(jnp.isfinite(raw), raw, 0.0)
+    return out.astype(B_shard.dtype)
+
+
+def _local_tiled_minmax_fwd(op, cfgs_df, cfgs_db, cfgs_hf, cfgs_hb,
+                            arrs_df, arrs_db, arrs_hf, arrs_hb,
+                            dv, hv, B_shard, halo_tbl):
+    raw, ties = _minmax_fwd_raw(op, cfgs_df, cfgs_hf, arrs_df, arrs_hf,
+                                dv, hv, B_shard, halo_tbl, True)
+    out = jnp.where(jnp.isfinite(raw), raw, 0.0)
+    res = (arrs_df, arrs_db, arrs_hf, arrs_hb, dv, hv, B_shard, halo_tbl,
+           out, ties)
+    return out.astype(B_shard.dtype), res
+
+
+def _minmax_bwd_block(op, cfg_b, arr_b, edata, B, out_tbl, gt_tbl):
+    """grad wrt one block window's gather table via the TRANSPOSED plan.
+
+    Per transpose slot (output row = a forward table row c, gathered row
+    = a forward output row r): recompute the forward contribution
+    val_e·B[c] bitwise-exactly, test it against the joint extremum
+    out[r], and stream w = 1[achieves]·g[r]/ties[r] (already folded into
+    ``gt_tbl``) back: grad_B[c] += val_e·w; grad_val[e] = Σ_k w·B[c].
+    Mirrors `spmm_minmax_vjp_tiled` phase 2.
+    """
+    from gespmm_tpu.kernels.spmm_stream import _reduce_part
+
+    interpret = jax.default_backend() != "tpu"
+    K = B.shape[1]
+    K_pad, kt = _fit_kt_local(cfg_b, K)
+    pad_k = lambda X: (  # noqa: E731
+        X if X.shape[1] == K_pad else jnp.pad(X, ((0, 0), (0, K_pad - X.shape[1])))
+    )
+    # ``B`` here is the WINDOW's slice of the block's gather table (the
+    # transpose window's output rows are window-local).
+    B32 = pad_k(B.astype(jnp.float32))
+    if B32.shape[0] < cfg_b.m_pad:
+        B32 = jnp.pad(B32, ((0, cfg_b.m_pad - B32.shape[0]), (0, 0)))
+    # ONE combined row-space table per pass: [out | g/ties] (each extra
+    # per-slot gather is a full pass — table count is what a pass pays).
+    og = jnp.concatenate([pad_k(out_tbl), pad_k(gt_tbl)], axis=1)
+    og_slot = _gather_slots(cfg_b, arr_b.lcols, og)
+    out_slot = og_slot[:, :K_pad]
+    gt_slot = og_slot[:, K_pad:]
+    slot_rows = jnp.minimum(
+        (arr_b.row_start[:, None] + arr_b.local_rows).reshape(-1),
+        cfg_b.m_pad - 1,
+    )
+    b_slot = jnp.take(B32, slot_rows, axis=0)
+    if cfg_b.with_vals:
+        v = jnp.take(edata.astype(jnp.float32), arr_b.src, axis=0,
+                     mode="fill", fill_value=0.0)
+        contrib = b_slot * v[:, None]
+    else:
+        v = None
+        contrib = b_slot
+    valid = (arr_b.local_rows < cfg_b.rows_per_block).reshape(-1)
+    eq = (contrib == out_slot) & valid[:, None]
+    w = jnp.where(eq, gt_slot, 0.0)
+    stream = w if v is None else w * v[:, None]
+    gb = _reduce_part(
+        stream, arr_b.local_rows, arr_b.row_start, cfg_b.m_pad,
+        cfg_b.rows_per_block, kt, "trilo", interpret, op="sum",
+    )
+    grad_B = gb[: cfg_b.out_rows, :K].astype(B.dtype)
+    prod_scatter = None
+    if cfg_b.with_vals:
+        # Barrier: XLA:TPU intermittently miscompiles scatters whose
+        # update operand is a fused product of gathers (see ops/reference).
+        prod = jax.lax.optimization_barrier(jnp.sum(w * b_slot, axis=-1))
+        prod_scatter = (jnp.where(valid, arr_b.src, cfg_b.nnz_pad), prod)
+    return grad_B, prod_scatter
+
+
+def _minmax_bwd_slices(op, cfgs_b, arrs_b, edata, B, out_tbl, gt_tbl):
+    """grad wrt a block's gather table: transpose windows concatenate;
+    edge-value grads scatter per window (disjoint edge sets)."""
+    gbs = []
+    gd = (
+        jnp.zeros((cfgs_b[0].nnz_pad + 1,), jnp.float32)
+        if cfgs_b[0].with_vals else None
+    )
+    off = 0
+    for cfg_b, arr_b in zip(cfgs_b, arrs_b):
+        gb, ps = _minmax_bwd_block(op, cfg_b, arr_b, edata,
+                                   B[off : off + cfg_b.out_rows],
+                                   out_tbl, gt_tbl)
+        off += cfg_b.out_rows
+        gbs.append(gb)
+        if ps is not None:
+            gd = gd.at[ps[0]].set(ps[1])
+    grad_B = gbs[0] if len(gbs) == 1 else jnp.concatenate(gbs, 0)
+    grad_edata = (
+        None if gd is None else gd[: edata.shape[0]].astype(edata.dtype)
+    )
+    return grad_B, grad_edata
+
+
+def _local_tiled_minmax_bwd(op, cfgs_df, cfgs_db, cfgs_hf, cfgs_hb, res, g):
+    (arrs_df, arrs_db, arrs_hf, arrs_hb, dv, hv, B_shard, halo_tbl,
+     out, ties) = res
+    gt = g.astype(jnp.float32) / jnp.maximum(ties, 1.0)
+    grad_B, gdv = _minmax_bwd_slices(
+        op, cfgs_db, arrs_db, dv, B_shard, out, gt
+    )
+    grad_halo, ghv = _minmax_bwd_slices(
+        op, cfgs_hb, arrs_hb, hv, halo_tbl, out, gt
+    )
+    return (None, None, None, None,
+            gdv if gdv is not None else jnp.zeros_like(dv),
+            ghv if ghv is not None else jnp.zeros_like(hv),
+            grad_B, grad_halo)
+
+
+_local_tiled_minmax.defvjp(_local_tiled_minmax_fwd, _local_tiled_minmax_bwd)
 
 
 # ---------------------------------------------------------------------------
@@ -487,6 +735,7 @@ def build_halo_partition(
     chunk_nnz: int = 256,
     col_tile: Optional[int] = None,
     rows_per_block: Optional[int] = None,
+    part_budget_rows: Optional[int] = None,
 ) -> HaloPartition:
     """Host pre-pass: slab rows, split columns by ownership, compute the
     ragged per-round halo schedule, remap, and (optionally) build the
@@ -632,17 +881,17 @@ def build_halo_partition(
         slabs_hf = [(b[0], b[1], None) for b in halo_blocks]
         slabs_hb = [(b[0], b[1], b[2]) for b in halo_t_blocks]
         kw = dict(col_tile=col_tile, rows_per_block=rows_per_block,
-                  chunk_nnz=chunk_nnz)
-        cfg_df, arr_df = _uniform_tiled_plans(slabs_df, rpp, cpp, d_nnz, **kw)
-        cfg_db, arr_db = _uniform_tiled_plans(slabs_db, cpp, rpp, d_nnz, **kw)
-        cfg_hf, arr_hf = _uniform_tiled_plans(
+                  chunk_nnz=chunk_nnz, part_budget=part_budget_rows)
+        cfg_df, arr_df = _sliced_uniform_plans(slabs_df, rpp, cpp, d_nnz, **kw)
+        cfg_db, arr_db = _sliced_uniform_plans(slabs_db, cpp, rpp, d_nnz, **kw)
+        cfg_hf, arr_hf = _sliced_uniform_plans(
             slabs_hf, rpp, halo_tbl_rows, h_nnz, **kw)
-        cfg_hb, arr_hb = _uniform_tiled_plans(
+        cfg_hb, arr_hb = _sliced_uniform_plans(
             slabs_hb, halo_tbl_rows, rpp, h_nnz, **kw)
         has_data = data is not None
         tiled_cfgs = tuple(
-            dataclasses.replace(c, with_vals=has_data)
-            for c in (cfg_df, cfg_db, cfg_hf, cfg_hb)
+            tuple(dataclasses.replace(c, with_vals=has_data) for c in cs)
+            for cs in (cfg_df, cfg_db, cfg_hf, cfg_hb)
         )
         tiled_arrays = (arr_df, arr_db, arr_hf, arr_hb)
 
@@ -783,16 +1032,11 @@ def halo_spmm(
         raise ValueError("pass diag_vals and halo_vals together")
     has_tiled = hp.tiled_cfgs is not None
     if method == "auto":
-        method = "tiled" if (has_tiled and reduce in ("sum", "mean")) else "xla"
+        method = "tiled" if has_tiled else "xla"
     if method == "tiled":
         if not has_tiled:
             raise ValueError(
                 "method='tiled' needs build_halo_partition(tiled=True)"
-            )
-        if reduce not in ("sum", "mean"):
-            raise ValueError(
-                f"tiled halo tier supports reduce=sum/mean, got {reduce!r};"
-                " use method='xla'"
             )
     model_in_mesh = model_axis if (model_axis in mesh.axis_names) else None
 
@@ -831,12 +1075,22 @@ def halo_spmm(
         cfg_df, cfg_db, cfg_hf, cfg_hb = cfgs
         halo_tbl = exchange(send_idx[0], B_shard)
 
-        def sl(a: LocalTiledArrays):
-            return (a.lcols[0], a.local_rows[0], a.row_start[0], a.src[0])
+        def sla(arrs):
+            return tuple(
+                LocalTiledArrays(a.lcols[0], a.local_rows[0],
+                                 a.row_start[0], a.src[0])
+                for a in arrs
+            )
 
-        od = _local_tiled(cfg_df, cfg_db, *sl(arr_df), *sl(arr_db),
+        if base in ("max", "min"):
+            return _local_tiled_minmax(
+                base, cfg_df, cfg_db, cfg_hf, cfg_hb,
+                sla(arr_df), sla(arr_db), sla(arr_hf), sla(arr_hb),
+                dv[0], hv[0], B_shard, halo_tbl,
+            )
+        od = _local_tiled(cfg_df, cfg_db, sla(arr_df), sla(arr_db),
                           dv[0], B_shard)
-        oh = _local_tiled(cfg_hf, cfg_hb, *sl(arr_hf), *sl(arr_hb),
+        oh = _local_tiled(cfg_hf, cfg_hb, sla(arr_hf), sla(arr_hb),
                           hv[0], halo_tbl)
         out = od + oh
         if reduce == "mean":
@@ -858,23 +1112,34 @@ def halo_spmm(
             raise ValueError(
                 f"B width {B.shape[1]} must be heads={heads} blocks"
             )
+        if base in ("max", "min"):
+            raise ValueError(
+                "per-head edge values are not supported with "
+                "reduce=max/min on the tiled tier"
+            )
     if method == "tiled":
         arrs = hp.tiled_arrays
         use_vals = has_dd
         cfgs = tuple(
-            dataclasses.replace(c, with_vals=use_vals, heads=heads)
-            for c in hp.tiled_cfgs
+            tuple(
+                dataclasses.replace(c, with_vals=use_vals, heads=heads)
+                for c in cs
+            )
+            for cs in hp.tiled_cfgs
         )
         dv = dvals if use_vals else jnp.zeros((Pn, 1), B.dtype)
         hv = hvals if use_vals else jnp.zeros((Pn, 1), B.dtype)
         vspec = sx if (not use_vals or dv.ndim == 2) else P(axis, None, None)
 
-        def arr_spec(a: LocalTiledArrays):
-            return LocalTiledArrays(
-                lcols=P(axis, None),
-                local_rows=P(axis, None, None),
-                row_start=P(axis, None),
-                src=P(axis, None),
+        def arr_spec(arrs_role):
+            return tuple(
+                LocalTiledArrays(
+                    lcols=P(axis, None),
+                    local_rows=P(axis, None, None),
+                    row_start=P(axis, None),
+                    src=P(axis, None),
+                )
+                for _ in arrs_role
             )
 
         in_specs = (

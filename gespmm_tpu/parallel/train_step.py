@@ -189,8 +189,9 @@ def build_sharded_sage(
 
     def aggregate(h):
         if aggregator == "pool":
-            return halo_spmm(hp, h, mesh, reduce="max", method="xla",
-                             model_axis=None)
+            # max rides the tiled tier when plans exist (round-4: joint
+            # diag+halo tie semantics in _local_tiled_minmax).
+            return halo_spmm(hp, h, mesh, reduce="max", model_axis=None)
         return halo_spmm(hp, h, mesh, reduce=aggregator, model_axis=None)
 
     def layer(p, h, pre_pool=None):

@@ -125,6 +125,84 @@ def rmat_graph(
     return csr_from_coo(coo)
 
 
+def banded_graph(n: int, bandwidth: int = 8, seed: int = 0) -> CSR:
+    """Banded sparse matrix: each row links to its ±bandwidth neighbors.
+
+    The locality-extreme end of the benchmark corpus (≙ mesh/PDE-style
+    SuiteSparse matrices in the reference's SNAP sweep — maximal gather
+    reuse, zero degree skew); complements the power-law R-MATs.
+    """
+    offs = [o for o in range(-bandwidth, bandwidth + 1) if o != 0]
+    rows = np.concatenate(
+        [np.arange(max(0, -o), min(n, n - o), dtype=np.int64) for o in offs]
+    )
+    cols = np.concatenate(
+        [np.arange(max(0, -o), min(n, n - o), dtype=np.int64) + o
+         for o in offs]
+    )
+    order = np.lexsort((cols, rows))
+    rows, cols = rows[order], cols[order]
+    coo = COO(
+        row=jnp.asarray(rows.astype(np.int32)),
+        col=jnp.asarray(cols.astype(np.int32)),
+        data=None,
+        shape=(n, n),
+    )
+    return csr_from_coo(coo)
+
+
+def bipartite_graph(
+    m: int, n: int, row_degree: int = 16, seed: int = 0,
+    skew: float = 1.2,
+) -> CSR:
+    """RECTANGULAR (m x n) sparse matrix with Zipf-skewed column
+    popularity — bipartite interaction data (user x item).  The corpus'
+    non-square case: SpMM here has distinct row/column spaces, so the
+    CSR↔CSC pairing and the K-tiled gather tables cannot assume m == n.
+    """
+    rng = np.random.default_rng(seed)
+    ne = m * row_degree
+    rows = np.repeat(np.arange(m, dtype=np.int64), row_degree)
+    # Zipf-ish column popularity via inverse-CDF on a power law.
+    u = rng.random(ne)
+    cols = np.minimum(
+        (n * u ** skew).astype(np.int64), n - 1
+    )
+    key = rows * n + cols
+    _, uniq = np.unique(key, return_index=True)
+    rows, cols = rows[uniq], cols[uniq]
+    order = np.lexsort((cols, rows))
+    rows, cols = rows[order], cols[order]
+    coo = COO(
+        row=jnp.asarray(rows.astype(np.int32)),
+        col=jnp.asarray(cols.astype(np.int32)),
+        data=None,
+        shape=(m, n),
+    )
+    return csr_from_coo(coo)
+
+
+def synth_graph(name: str, seed: int = 0) -> Optional[CSR]:
+    """Resolve a synthetic-corpus name to its generator:
+
+    ``rmat<scale>`` | ``banded<n>[-<bw>]`` | ``rect<m>x<n>[-<deg>]`` |
+    ``sbm<n_per_class>``.  Returns None for unknown names.
+    """
+    import re
+
+    if m := re.fullmatch(r"rmat(\d+)", name):
+        return rmat_graph(scale=int(m.group(1)), edge_factor=16, seed=seed)
+    if m := re.fullmatch(r"banded(\d+)(?:-(\d+))?", name):
+        return banded_graph(int(m.group(1)),
+                            int(m.group(2) or 8), seed=seed)
+    if m := re.fullmatch(r"rect(\d+)x(\d+)(?:-(\d+))?", name):
+        return bipartite_graph(int(m.group(1)), int(m.group(2)),
+                               int(m.group(3) or 16), seed=seed)
+    if m := re.fullmatch(r"sbm(\d+)", name):
+        return sbm_graph(n_per_class=int(m.group(1)), seed=seed).csr
+    return None
+
+
 def sbm_graph(
     n_per_class: int = 300,
     num_classes: int = 4,

@@ -65,6 +65,42 @@ def spmm_roofline(
     }
 
 
+def spmm_stream_roofline(
+    nnz: int, m: int, k: int, measured_s: float,
+    slots: int, n_slabs: int = 1, stream_item: int = 4,
+    hbm_gbps: float = 795.0, gather_ns_per_row: float = 2.2,
+) -> Dict[str, float]:
+    """Roofline of the IMPLEMENTED two-phase stream algorithm (vs the
+    ideal one-pass bound of `spmm_roofline`).
+
+    The gather phase reads B rows AND materializes the contribution
+    stream to HBM; the Pallas reduce re-reads it.  So the algorithm
+    moves ≈ nnz·k (B read) + 2·slots·k·(item/4) (stream write+read)
+    f32-equivalents plus the output, and pays the per-slot gather issue
+    cost once per K-slab.  `fraction` against THIS bound isolates kernel
+    inefficiency from the structural cost of the two-phase design; the
+    gap between the two bounds is the fusion headroom (docs/PERF.md).
+    """
+    bytes_moved = (
+        nnz * k * 4                      # B rows through the gather
+        + 2 * slots * k * stream_item    # stream write + kernel read
+        + m * k * 4                      # output
+        + slots * 8 * n_slabs            # slot indices per slab pass
+    )
+    sol_s = max(
+        bytes_moved / (hbm_gbps * 1e9),
+        slots * n_slabs * gather_ns_per_row * 1e-9,
+    )
+    flops = 2.0 * nnz * k
+    return {
+        "bytes_moved": float(bytes_moved),
+        "speed_of_light_s": sol_s,
+        "achieved_gflops": flops / measured_s / 1e9,
+        "sol_gflops": flops / sol_s / 1e9,
+        "fraction_of_roofline": sol_s / measured_s,
+    }
+
+
 def measure_hbm_bandwidth(size_mb: int = 256) -> float:
     """Measured device stream bandwidth (GB/s) via a chained elementwise
     pass (queue-fenced; see utils/timing.py for why block_until_ready

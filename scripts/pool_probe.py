@@ -7,13 +7,16 @@ forward+backward at each layer's K against the sum-reduce equivalents
 and the full train step.  Markdown table for
 bench_results/pool_profile.md.
 """
+import os
 import sys
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
 from gespmm_tpu.ops.graph import add_self_loops
 from gespmm_tpu.ops.spmm import Adjacency, spmm
 from gespmm_tpu.utils import timing

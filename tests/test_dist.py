@@ -216,17 +216,101 @@ def test_halo_spmm_monoids(reduce):
     csr, mat = random_csr(48, 48, density=0.15, seed=9)
     nd = 4
     mesh = make_mesh(data=nd, model=1, devices=jax.devices()[:nd])
-    hp = build_halo_partition(csr, nd, tiled=(reduce == "mean"),
+    hp = build_halo_partition(csr, nd, tiled=True,
                               chunk_nnz=16, rows_per_block=16)
     B = np.random.default_rng(9).standard_normal((48, 8)).astype(np.float32)
     Bd = jax.device_put(pad_for_halo(hp, jnp.asarray(B)),
                         NamedSharding(mesh, P("data", None)))
-    method = "auto" if reduce == "mean" else "xla"
-    out = jax.jit(lambda b: halo_spmm(hp, b, mesh, reduce=reduce,
-                                      method=method, model_axis=None))(Bd)
     expect = np.asarray(spmm(Adjacency.from_csr(csr), jnp.asarray(B),
                              reduce=reduce))
-    np.testing.assert_allclose(np.asarray(out)[:48], expect, **TOL)
+    for method in ("xla", "tiled"):
+        out = jax.jit(lambda b, m=method: halo_spmm(
+            hp, b, mesh, reduce=reduce, method=m, model_axis=None))(Bd)
+        np.testing.assert_allclose(np.asarray(out)[:48], expect,
+                                   err_msg=method, **TOL)
+
+
+@pytest.mark.parametrize("op", ["max", "min"])
+def test_halo_tiled_minmax_grads_with_ties(op):
+    # Tiled-tier sharded max/min gradients vs the dense oracle, with
+    # QUANTIZED B so several edges tie for the extremum — the joint
+    # diag+halo even-split semantics (VERDICT r3 #7) is exactly what a
+    # per-block split would get wrong here.
+    from gespmm_tpu.parallel.halo import (
+        build_halo_partition, halo_spmm, pad_for_halo,
+    )
+
+    csr, mat = random_csr(48, 48, density=0.15, seed=13, binary=True)
+    nd = 4
+    mesh = make_mesh(data=nd, model=1, devices=jax.devices()[:nd])
+    hp = build_halo_partition(csr, nd, tiled=True, chunk_nnz=16,
+                              rows_per_block=16)
+    rng = np.random.default_rng(13)
+    B = np.round(rng.standard_normal((48, 8)) * 2).astype(np.float32) / 2
+    Bd = jax.device_put(pad_for_halo(hp, jnp.asarray(B)),
+                        NamedSharding(mesh, P("data", None)))
+
+    dense = jnp.asarray((mat.toarray() != 0))
+    ident = -jnp.inf if op == "max" else jnp.inf
+    redj = jnp.max if op == "max" else jnp.min
+
+    def loss_dense(b):
+        c = jnp.where(dense[:, :, None], b[None], ident)
+        o = redj(c, axis=1)
+        return jnp.sum(jnp.sin(jnp.where(jnp.isfinite(o), o, 0.0)))
+
+    def loss_sharded(b):
+        return jnp.sum(jnp.sin(halo_spmm(
+            hp, b, mesh, reduce=op, method="tiled", model_axis=None
+        )[:48]))
+
+    g_dense = jax.grad(loss_dense)(jnp.asarray(B))
+    g_shard = jax.jit(jax.grad(loss_sharded))(Bd)
+    np.testing.assert_allclose(np.asarray(g_shard)[:48],
+                               np.asarray(g_dense), rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("op", ["max", "min"])
+def test_halo_tiled_minmax_edge_value_grads(op):
+    # Runtime edge values through the sharded tiled minmax: forward and
+    # d/d(vals) must match the single-device tiled op.
+    from gespmm_tpu.ops.spmm import Adjacency, spmm
+    from gespmm_tpu.parallel.halo import (
+        build_halo_partition, halo_spmm, pad_for_halo, split_edge_values,
+    )
+
+    csr, mat = random_csr(40, 40, density=0.15, seed=17)
+    nd = 4
+    mesh = make_mesh(data=nd, model=1, devices=jax.devices()[:nd])
+    hp = build_halo_partition(csr, nd, tiled=True, chunk_nnz=16,
+                              rows_per_block=16)
+    adj = Adjacency.from_csr(csr, plan=True, col_tile=16, rows_per_block=8,
+                             chunk_nnz=8, part_rows=40)
+    B = np.random.default_rng(17).standard_normal((40, 8)).astype(np.float32)
+    Bd = jax.device_put(pad_for_halo(hp, jnp.asarray(B)),
+                        NamedSharding(mesh, P("data", None)))
+    vals = jnp.asarray(np.asarray(csr.data))
+
+    def loss_sharded(v):
+        dv, hv = split_edge_values(hp, v)
+        return jnp.sum(jnp.sin(halo_spmm(
+            hp, Bd, mesh, reduce=op, method="tiled", model_axis=None,
+            diag_vals=dv, halo_vals=hv,
+        )[:40]))
+
+    def loss_single(v):
+        return jnp.sum(jnp.sin(spmm(
+            adj.with_data(v), jnp.asarray(B), reduce=op, method="tiled"
+        )))
+
+    np.testing.assert_allclose(
+        float(jax.jit(loss_sharded)(vals)), float(loss_single(vals)),
+        rtol=1e-5, atol=1e-5,
+    )
+    g_shard = jax.jit(jax.grad(loss_sharded))(vals)
+    g_single = jax.grad(loss_single)(vals)
+    np.testing.assert_allclose(np.asarray(g_shard), np.asarray(g_single),
+                               rtol=1e-4, atol=1e-4)
 
 
 def test_halo_footprint_small_on_banded_graph():
@@ -276,20 +360,59 @@ def test_halo_strictness_and_errors():
     with pytest.raises(ValueError, match="pad"):
         halo_spmm(hp, jnp.zeros((45, 8), jnp.float32), mesh,
                   model_axis=None)
-    hp2 = build_halo_partition(csr, 2, tiled=True)
-    with pytest.raises(ValueError, match="sum/mean"):
-        halo_spmm(hp2, B, mesh, reduce="max", method="tiled",
-                  model_axis=None)
+@pytest.mark.parametrize("reduce", ["sum", "max"])
+def test_halo_multipart_shard(reduce):
+    # A shard larger than the VMEM accumulator budget splits into
+    # multiple output windows (VERDICT r3 #10) instead of raising.
+    # part_budget_rows=16 forces rpp=32 > budget → 2 windows per shard;
+    # values AND gradients must match the dense oracle.
+    from gespmm_tpu.parallel.halo import (
+        build_halo_partition, halo_spmm, pad_for_halo,
+    )
 
+    csr, mat = random_csr(64, 64, density=0.12, seed=41)
+    nd = 2
+    mesh = make_mesh(data=nd, model=1, devices=jax.devices()[:nd])
+    hp = build_halo_partition(csr, nd, tiled=True, chunk_nnz=8,
+                              rows_per_block=8, part_budget_rows=16)
+    assert all(len(cs) > 1 for cs in hp.tiled_cfgs), (
+        "budget override must force multiple windows"
+    )
+    B = np.random.default_rng(41).standard_normal((64, 8)).astype(np.float32)
+    Bd = jax.device_put(pad_for_halo(hp, jnp.asarray(B)),
+                        NamedSharding(mesh, P("data", None)))
+    dense = jnp.asarray(mat.toarray())
+    mask = jnp.asarray(mat.toarray() != 0)
+    ident = -jnp.inf
+    out = jax.jit(lambda b: halo_spmm(hp, b, mesh, reduce=reduce,
+                                      method="tiled", model_axis=None))(Bd)
+    if reduce == "sum":
+        expect = mat @ B
+    else:
+        c = np.where(np.asarray(mask)[:, :, None],
+                     np.asarray(dense)[:, :, None] * B[None], np.nan)
+        with np.errstate(all="ignore"):
+            expect = np.nanmax(c, axis=1)
+        expect = np.where(np.isnan(expect), 0.0, expect)
+    np.testing.assert_allclose(np.asarray(out)[:64], expect, rtol=1e-4,
+                               atol=1e-4)
 
-def test_halo_oversize_slab_raises():
-    from gespmm_tpu.parallel.halo import build_halo_partition
+    def loss_sharded(b):
+        return jnp.sum(jnp.sin(halo_spmm(
+            hp, b, mesh, reduce=reduce, method="tiled", model_axis=None
+        )[:64]))
 
-    # 140000 rows in one part exceeds the stream kernel's VMEM
-    # accumulator budget (131072 rows); must raise a real error.
-    csr, _ = random_csr(140000, 64, density=0.0005, seed=41)
-    with pytest.raises(ValueError, match="exceeds|limit"):
-        build_halo_partition(csr, 1, tiled=True)
+    def loss_dense(b):
+        if reduce == "sum":
+            return jnp.sum(jnp.sin(dense @ b))
+        c = jnp.where(mask[:, :, None], dense[:, :, None] * b[None], ident)
+        o = jnp.max(c, axis=1)
+        return jnp.sum(jnp.sin(jnp.where(jnp.isfinite(o), o, 0.0)))
+
+    g_shard = jax.jit(jax.grad(loss_sharded))(Bd)
+    g_dense = jax.grad(loss_dense)(jnp.asarray(B))
+    np.testing.assert_allclose(np.asarray(g_shard)[:64],
+                               np.asarray(g_dense), rtol=1e-4, atol=1e-4)
 
 
 def test_halo_ragged_rounds_cut_comm_on_skewed_graph():

@@ -10,7 +10,6 @@ import numpy as np
 import pytest
 
 from gespmm_tpu.kernels.spmm_pallas import spmm_pallas
-from gespmm_tpu.kernels.sddmm_pallas import sddmm_pallas
 from gespmm_tpu.sparse.partition import build_spmm_plan
 from tests.conftest import powerlaw_csr, random_csr
 
@@ -52,30 +51,6 @@ def test_spmm_pallas_k_tiling():
     np.testing.assert_allclose(np.asarray(out), mat @ B, **TOL)
 
 
-def test_sddmm_pallas_interpret():
-    csr, mat = random_csr(40, 35, density=0.12, seed=5, binary=True)
-    rows = np.repeat(np.arange(40), np.diff(mat.indptr)).astype(np.int32)
-    D1 = np.random.default_rng(5).standard_normal((40, 16)).astype(np.float32)
-    D2 = np.random.default_rng(6).standard_normal((35, 16)).astype(np.float32)
-    ev = sddmm_pallas(
-        jnp.asarray(rows), csr.indices, jnp.asarray(D1), jnp.asarray(D2),
-        chunk=32, interpret=True,
-    )
-    gold = (D1[rows] * D2[np.asarray(csr.indices)]).sum(-1)
-    np.testing.assert_allclose(np.asarray(ev), gold, **TOL)
-
-
-def test_sddmm_pallas_k_not_multiple_of_128():
-    csr, mat = random_csr(20, 20, density=0.2, seed=7, binary=True)
-    rows = np.repeat(np.arange(20), np.diff(mat.indptr)).astype(np.int32)
-    D1 = np.random.default_rng(7).standard_normal((20, 50)).astype(np.float32)
-    D2 = np.random.default_rng(8).standard_normal((20, 50)).astype(np.float32)
-    ev = sddmm_pallas(
-        jnp.asarray(rows), csr.indices, jnp.asarray(D1), jnp.asarray(D2),
-        chunk=32, interpret=True,
-    )
-    gold = (D1[rows] * D2[np.asarray(csr.indices)]).sum(-1)
-    np.testing.assert_allclose(np.asarray(ev), gold, rtol=1e-4, atol=1e-4)
 
 
 def test_plan_padding_and_shapes():

@@ -358,6 +358,60 @@ def test_spmm_tiled_want_ties_counts_and_grads(op):
                                atol=1e-5)
 
 
+@pytest.mark.parametrize("op", ["max", "min"])
+def test_spmm_tiled_want_ties_multi_ktile_slab_bf16(op, monkeypatch):
+    # ADVICE r3: the n_k>1 list-output pallas_call path, the K-slab
+    # recursion, and the bf16 fast path were untested with want_ties.
+    # k_tile=128 with K=256 forces two K tiles; a tiny _STREAM_BUDGET
+    # forces the slab recursion on top.
+    import gespmm_tpu.kernels.spmm_stream as ss
+
+    csr, mat = random_csr(24, 20, density=0.2, seed=31, binary=True)
+    adj = Adjacency.from_csr(csr, plan=True, col_tile=16, rows_per_block=8,
+                             chunk_nnz=8, part_rows=24)
+    rng = np.random.default_rng(31)
+    K = 256
+    B = jnp.asarray(
+        np.round(rng.standard_normal((20, K)) * 2).astype(np.float32) / 2
+    )
+    dense = np.asarray(mat.toarray() != 0)
+    contrib = np.where(dense[:, :, None], np.asarray(B)[None], np.nan)
+    red = np.nanmax if op == "max" else np.nanmin
+    with np.errstate(all="ignore"):
+        golden = red(contrib, axis=1)
+    golden_ties = np.nansum(
+        (contrib == golden[:, None, :]).astype(np.float32), axis=1
+    )
+    golden_out = np.where(np.isnan(golden), 0.0, golden)
+
+    slots_max = max(p.num_slots for p in adj.plan.parts)
+    # Budget small enough that a 256-wide f32 stream must slab (the slab
+    # floor is 128 columns, so this forces exactly two slabs).
+    monkeypatch.setattr(ss, "_STREAM_BUDGET", slots_max * 4 * 128)
+    out, ties = spmm_tiled(
+        adj.plan, None, B, 24, k_tile=128, interpret=True, reduce=op,
+        want_ties=True,
+    )
+    np.testing.assert_allclose(np.asarray(out), golden_out, rtol=1e-6,
+                               atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(ties), golden_ties)
+    assert (np.asarray(ties).max(initial=0)) > 1, "test graph has no ties"
+
+    # bf16 B + implicit edges: the one-pass exact bf16 stream with ties.
+    Bb = B.astype(jnp.bfloat16)
+    out_b, ties_b = spmm_tiled(
+        adj.plan, None, Bb, 24, k_tile=128, interpret=True, reduce=op,
+        want_ties=True,
+    )
+    # B's values are multiples of 0.5 well within bf16 range, so the
+    # bf16 cast is exact and the golden still applies.
+    np.testing.assert_allclose(
+        np.asarray(out_b.astype(jnp.float32)), golden_out, rtol=1e-6,
+        atol=1e-6,
+    )
+    np.testing.assert_array_equal(np.asarray(ties_b), golden_ties)
+
+
 def test_explicit_method_strictness():
     csr, _ = random_csr(32, 32, density=0.1, seed=26)
     adj_plain = Adjacency.from_csr(csr)

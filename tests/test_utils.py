@@ -71,3 +71,42 @@ def test_gcn_trains_in_bf16():
         losses.append(float(loss))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0]
+
+
+def test_synth_graph_generators():
+    # Corpus widening (VERDICT r3 #8): banded, rectangular and SBM
+    # matrices resolve by name and produce valid CSR structures.
+    import numpy as np
+    from gespmm_tpu.utils.datasets import synth_graph
+
+    b = synth_graph("banded256-3")
+    assert b.shape == (256, 256)
+    ip = np.asarray(b.indptr)
+    # interior rows have exactly 2*bw neighbors
+    assert (np.diff(ip)[3:-3] == 6).all()
+
+    r = synth_graph("rect512x128-4")
+    assert r.shape == (512, 128)
+    assert np.asarray(r.indices).max() < 128
+    assert r.nnz > 512  # ~4 edges/row minus dedup collisions
+
+    s = synth_graph("sbm64")
+    assert s.shape == (256, 256)
+    assert synth_graph("nosuch") is None
+
+    m = synth_graph("rmat8")
+    assert m.shape == (256, 256)
+
+
+def test_bench_rectangular_graph_cpu():
+    # The sweep path must handle a NON-SQUARE matrix end to end
+    # (distinct row/col spaces through plans, golden check, timing).
+    from gespmm_tpu.bench.spmm_bench import bench_graph
+
+    row, results = bench_graph(
+        "rect512x128-4", [8], iters=3, methods=("xla", "tiled"),
+        validate=True,
+    )
+    assert row["m"] == 512 and row["n"] == 128
+    for key, v in results.items():
+        assert "error" not in v, (key, v)
