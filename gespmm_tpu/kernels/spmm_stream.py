@@ -73,6 +73,7 @@ def _reduce_kernel(
     mode: str,
     group: int,
     op: str = "sum",
+    max_run: int = 0,
 ):
     cg = pl.program_id(0)
     R = rows_per_block
@@ -112,25 +113,27 @@ def _reduce_kernel(
         lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
         return dot(p, hi) + dot(p, mid) + dot(p, lo)
 
-    # `group` chunks per grid step amortize the pipeline's fixed per-step
-    # cost (~1us measured), which dominates small graphs.
-    for i in range(group):
-        lr = local_rows_ref[i, 0, :]  # (E,)
-        E = lr.shape[0]
-        rows_iota = jax.lax.broadcasted_iota(jnp.int32, (R, E), 0)
-
-        if op in ("max", "min"):
-            # Segmented-scan reduction: slots within a chunk are sorted by
-            # row (the plan orders edges by (tile, row)), so each row's
-            # slots form one contiguous run.  An inclusive shift-scan with
-            # run boundaries leaves the run's reduction at its LAST slot;
-            # that single slot per (row, chunk) is scattered through an
-            # exact one-hot matmul and folded into the resident
-            # accumulator.  ≙ the reference's dedicated max kernel family
-            # (`dgl-custom/binary_reduce_max.cu:18-207`), re-expressed for
-            # VPU + MXU instead of warp-serial compare-exchange.
-            fold = jnp.maximum if op == "max" else jnp.minimum
-            ident = init_val
+    if op in ("max", "min"):
+        # Per-chunk segmented-scan reduction: slots within a chunk are
+        # sorted by row (the plan orders edges by (tile, row)), so each
+        # row's slots form one contiguous run.  An inclusive shift-scan
+        # with run boundaries leaves the run's reduction at its LAST
+        # slot; that single slot per (row, chunk) is scattered through
+        # an exact one-hot matmul and folded into the resident
+        # accumulator.  Round 4: the scan stops at the plan's longest
+        # (tile, row) run (`max_run`) instead of always covering E —
+        # low-degree graphs drop most of the shift steps.  (A batched
+        # whole-window flag-scan was tried and measured SLOWER: the key
+        # build + flag traffic exceeded the per-chunk savings.)
+        # ≙ the reference's dedicated max kernel family
+        # (`dgl-custom/binary_reduce_max.cu:18-207`), re-expressed for
+        # VPU + MXU instead of warp-serial compare-exchange.
+        fold = jnp.maximum if op == "max" else jnp.minimum
+        ident = init_val
+        for i in range(group):
+            lr = local_rows_ref[i, 0, :]  # (E,)
+            E = lr.shape[0]
+            rows_iota = jax.lax.broadcasted_iota(jnp.int32, (R, E), 0)
             g32 = contrib_ref[i * E : (i + 1) * E, :].astype(jnp.float32)
             ktile = g32.shape[1]
             # Masks are built from int32 column/row vectors: Mosaic only
@@ -139,18 +142,18 @@ def _reduce_kernel(
             lr_c = lr[:, None]  # (E, 1) int32
             vals = jnp.where(lr_c < R, g32, ident)
             # Tie counting rides the same scan as a (value, count) pair
-            # monoid: combine((m1,c1),(m2,c2)) = c1+c2 if m1==m2 else the
-            # count of the winning side.  Exact: counts are small ints
-            # and value comparisons are bitwise (the scan preserves exact
-            # f32 values).  Emitted so the max/min VJP can skip its
-            # tie-recount stream entirely (phase 1 of
+            # monoid: combine((m1,c1),(m2,c2)) = c1+c2 if m1==m2 else
+            # the count of the winning side.  Exact: counts are small
+            # ints and value comparisons are bitwise.  Emitted so the
+            # max/min VJP can skip its tie-recount stream (phase 1 of
             # spmm_minmax_vjp_tiled).
             cnt = (
                 jnp.where(lr_c < R, 1.0, 0.0) * jnp.ones((1, ktile))
                 if ties_ref is not None else None
             )
+            limit = min(max_run, E) if max_run > 0 else E
             s = 1
-            while s < E:
+            while s < limit:
                 prev = jnp.concatenate(
                     [jnp.full((s, ktile), ident, vals.dtype), vals[:-s]],
                     axis=0,
@@ -161,7 +164,8 @@ def _reduce_kernel(
                 same = lr_c == prev_lr_c
                 if cnt is not None:
                     prev_cnt = jnp.concatenate(
-                        [jnp.zeros((s, ktile), cnt.dtype), cnt[:-s]], axis=0
+                        [jnp.zeros((s, ktile), cnt.dtype), cnt[:-s]],
+                        axis=0,
                     )
                     prev_wins = (
                         prev > vals if op == "max" else prev < vals
@@ -206,7 +210,14 @@ def _reduce_kernel(
                     jnp.where(hasb & (folded == cur),
                               curt + folded_cnt, curt),
                 )
-            continue
+        return
+
+    # `group` chunks per grid step amortize the pipeline's fixed per-step
+    # cost (~1us measured), which dominates small graphs.
+    for i in range(group):
+        lr = local_rows_ref[i, 0, :]  # (E,)
+        E = lr.shape[0]
+        rows_iota = jax.lax.broadcasted_iota(jnp.int32, (R, E), 0)
 
         onehot = rows_iota == lr[None, :]
         g32 = contrib_ref[i * E : (i + 1) * E, :].astype(jnp.float32)
@@ -237,7 +248,8 @@ def _reduce_kernel(
 
 @functools.partial(
     jax.jit, static_argnames=("m_pad", "rows_per_block", "k_tile",
-                              "mode", "interpret", "op", "want_ties")
+                              "mode", "interpret", "op", "want_ties",
+                              "max_run", "force_group")
 )
 def _reduce_part(
     contrib: Array,  # (S, K_pad)
@@ -250,6 +262,8 @@ def _reduce_part(
     interpret: bool,
     op: str = "sum",
     want_ties: bool = False,
+    max_run: int = 0,
+    force_group: Optional[int] = None,
 ):
     C, E = local_rows.shape
     K_pad = contrib.shape[1]
@@ -259,14 +273,16 @@ def _reduce_part(
     # per-grid-step cost; in interpret mode (CPU tests) there is no such
     # cost and a 16-way unrolled body only multiplies trace/compile time,
     # so group stays 1 there.
-    if interpret:
+    if force_group is not None:
+        G = force_group  # test hook: exercise the batched minmax scan
+    elif interpret:
         G = 1
     else:
         G = 16 if C % 16 == 0 else (4 if C % 4 == 0 else 1)
 
     kernel = functools.partial(
         _reduce_kernel, rows_per_block=rows_per_block, mode=mode, group=G,
-        op=op,
+        op=op, max_run=max_run,
     )
     passes = {"highest": 6, "trilo": 3, "hilo": 2}.get(mode, 1)
     lr3 = local_rows.reshape(C, 1, E)
@@ -475,6 +491,7 @@ def spmm_tiled(
             interpret,
             op=reduce,
             want_ties=want_ties,
+            max_run=part.max_run if reduce in ("max", "min") else 0,
         )
         if want_ties:
             out_p, ties_p = out_p
@@ -537,6 +554,7 @@ def edge_segment_reduce(
         out_p = _reduce_part(
             contrib, part.local_rows, part.row_start, part.m_pad,
             part.rows_per_block, kt, "trilo", interpret, op=op,
+            max_run=part.max_run if op in ("max", "min") else 0,
         )
         outs.append(out_p[: part.m_part])
     out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, 0)
@@ -688,9 +706,11 @@ def spmm_minmax_vjp_tiled(
         eq = (contrib == out_slot) & valid[:, None]
         w = jnp.where(eq, gt_slot, 0.0)
         stream = w if vals_slot is None else w * vals_slot[:, None]
+        # hilo (2 bf16 passes, ~1e-5 rel) suffices for gradients — the
+        # trilo third pass bought nothing at grad tolerances.
         gb = _reduce_part(
             stream, part.local_rows, part.row_start, part.m_pad,
-            part.rows_per_block, kt_t, "trilo", interpret, op="sum",
+            part.rows_per_block, kt_t, "hilo", interpret, op="sum",
         )
         grad_parts.append(gb[: part.m_part])
         if gd is not None:

@@ -88,6 +88,7 @@ class LocalTiledCfg:
     with_vals: bool = False  # apply a runtime edge-value array?
     mode: str = "trilo"
     heads: int = 1  # runtime edge values per edge (head-blocked B)
+    max_run: int = 0  # longest (tile, row) slot run (minmax scan bound)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -245,6 +246,7 @@ def _uniform_tiled_plans(
         chunk_nnz=E,
         out_rows=out_rows,
         nnz_pad=nnz_pad,
+        max_run=max((pp.max_run for pp in plans), default=0),
     )
     arrays = LocalTiledArrays(
         lcols=jnp.asarray(lcols),
@@ -462,7 +464,7 @@ def _minmax_block_raw(op, cfg, arr, edata, B, want_ties):
     return _reduce_part(
         contrib, arr.local_rows, arr.row_start, cfg.m_pad,
         cfg.rows_per_block, kt, "trilo", interpret, op=op,
-        want_ties=want_ties,
+        want_ties=want_ties, max_run=cfg.max_run,
     )
 
 

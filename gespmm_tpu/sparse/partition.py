@@ -350,11 +350,14 @@ class TiledPartPlan:
     m_pad: int = 0
     rows_per_block: int = 0
     chunk_nnz: int = 0
+    # Longest (tile, row) slot run — bounds the max/min segmented scan's
+    # step count (0 = unknown: scan the whole window).
+    max_run: int = 0
 
     def tree_flatten(self):
         arrays = (self.src, self.lcols, self.local_rows, self.row_start)
         aux = (self.tile_slices, self.row0, self.m_part, self.m_pad,
-               self.rows_per_block, self.chunk_nnz)
+               self.rows_per_block, self.chunk_nnz, self.max_run)
         return arrays, aux
 
     @classmethod
@@ -461,6 +464,7 @@ def _group_pad_part(part: TiledPartPlan, group: int = 0) -> TiledPartPlan:
         m_pad=part.m_pad,
         rows_per_block=R,
         chunk_nnz=E,
+        max_run=part.max_run,
     )
 
 
@@ -570,6 +574,15 @@ def build_tiled_plan(
         rows_p, cols_p, src_p, tile_p = (
             rows_p[order], cols_p[order], src_p[order], tile_p[order]
         )
+        # Longest (tile, row) run in slot order — the max/min kernel's
+        # segmented scan only needs ceil(log2(max_run)) steps.
+        if len(rows_p):
+            key = tile_p.astype(np.int64) * m + rows_p
+            bnd = np.flatnonzero(np.diff(key)) + 1
+            seg = np.diff(np.concatenate(([0], bnd, [len(key)])))
+            max_run = int(seg.max())
+        else:
+            max_run = 1
 
         # Pack row-windowed chunks of E slots per tile: native C++ walk
         # when the graphio library is available (identical output,
@@ -612,6 +625,7 @@ def build_tiled_plan(
                     m_pad=m_pad,
                     rows_per_block=Rp,
                     chunk_nnz=E,
+                    max_run=max_run,
                 ))
             )
             if m == 0:
@@ -674,6 +688,7 @@ def build_tiled_plan(
                 m_pad=m_pad,
                 rows_per_block=Rp,
                 chunk_nnz=E,
+                max_run=max_run,
             ))
         )
         if m == 0:

@@ -121,3 +121,22 @@ for aggr in ("mean", "pool"):
 print()
 print("Timing: utils/timing.benchmark_chained (queue-fenced, "
       "RTT-subtracted, data-chained iterations in one jit).")
+print("""
+## Where the pool epoch floor is (round-4 analysis)
+
+The step = 2x max fwd+bwd (one per layer, at K=128 and K=16) + the dense
+rest (~0.85 ms, = the mean-aggregator step minus its sum-SpMM).  The max
+fwd costs ~0.72 ms AT BOTH widths — it is not throughput-bound but
+scan-step-bound: pubmed's hub row (degree 172 after self-loops) forces
+the full ceil(log2(E)) = 8 shift steps of the in-kernel segmented scan,
+and each step rewrites the whole slot stream.  Round-4 changes that
+landed: the scan stops at the plan's measured longest run (`max_run` —
+no-op for pubmed's 172, large for banded/low-degree graphs), the VJP's
+weight stream reduces in hilo (2 MXU passes), and ties emitted by the
+forward keep the backward at one stream.  Tried and rejected: a batched
+whole-window flag-scan (slower — key/flag traffic exceeded the per-chunk
+savings; see kernels/spmm_stream.py), the XLA segment path (fwd+grad
+3.4 ms), larger/smaller chunk sizes (flat 0.70-0.97).  Remaining
+structural lever: a row-aligned slot layout that replaces the shift-scan
+with one reshape-reduce (costs ~45% slot padding on pubmed).
+""")

@@ -446,3 +446,50 @@ def test_spmm_tiled_nonmultiple_k_tile_terminates():
     out = spmm_tiled(plan, csr.data, jnp.asarray(B), 24, k_tile=200,
                      interpret=True)
     np.testing.assert_allclose(np.asarray(out), mat @ B, **TOL)
+
+
+@pytest.mark.parametrize("op", ["max", "min"])
+def test_reduce_part_batched_scan_groups(op):
+    # Round 4: the minmax kernel scans the whole G-chunk window in ONE
+    # flag-based segmented scan; interpret mode normally runs G=1, so
+    # force G>1 to exercise cross-chunk runs, sentinel gaps, and the
+    # hop-over-boundary flag logic on CPU.
+    from gespmm_tpu.kernels.spmm_stream import _reduce_part
+
+    csr, mat = random_csr(40, 32, density=0.25, seed=33, binary=True)
+    adj = Adjacency.from_csr(csr, plan=True, col_tile=8, rows_per_block=8,
+                             chunk_nnz=8, part_rows=40)
+    part = adj.plan.parts[0]
+    rng = np.random.default_rng(33)
+    B = jnp.asarray(
+        np.round(rng.standard_normal((32, 8)) * 2).astype(np.float32) / 2
+    )
+    from gespmm_tpu.kernels.spmm_stream import _gather_part
+
+    contrib = _gather_part(part, None, B.astype(jnp.float32))
+    dense = np.asarray(mat.toarray() != 0)
+    c = np.where(dense[:, :, None], np.asarray(B)[None], np.nan)
+    red = np.nanmax if op == "max" else np.nanmin
+    with np.errstate(all="ignore"):
+        golden = red(c, axis=1)
+    golden_ties = np.nansum((c == golden[:, None, :]).astype(np.float32), 1)
+    C = part.num_chunks
+    groups = [g for g in (1, 2, 4) if C % g == 0]
+    assert len(groups) > 1, f"need a multi-group-divisible chunk count ({C})"
+    for g in groups:
+        out, ties = _reduce_part(
+            contrib, part.local_rows, part.row_start, part.m_pad,
+            part.rows_per_block, 8, "trilo", True, op=op, want_ties=True,
+            max_run=part.max_run, force_group=g,
+        )
+        got = np.asarray(out)[:40]
+        got = np.where(np.isfinite(got), got, np.nan)
+        exp = golden
+        np.testing.assert_allclose(
+            np.where(np.isnan(got), 0, got),
+            np.where(np.isnan(exp), 0, exp), rtol=1e-6, atol=1e-6,
+            err_msg=f"group={g}",
+        )
+        np.testing.assert_array_equal(
+            np.asarray(ties)[:40], golden_ties, err_msg=f"group={g}"
+        )

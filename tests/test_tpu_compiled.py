@@ -128,12 +128,19 @@ K = 128
 B = jnp.asarray(rng.standard_normal((n, K)).astype(np.float32))
 golden = A64 @ np.asarray(B).astype(np.float64)
 adj = Adjacency.from_csr(csr, plan=True)
-for mode, tol in (("trilo", 2e-3), ("hilo", 2e-3), ("fast", 3e-2),
+golden_bf16 = A64 @ np.asarray(
+    jnp.asarray(B).astype(jnp.bfloat16)
+).astype(np.float64)
+for mode, tol in (("trilo", 2e-3), ("hilo", 2e-3), ("fast", 2e-3),
                   ("highest", 2e-3)):
     out = np.asarray(jax.jit(
         lambda b, _md=mode: spmm(adj, b, method="tiled", mode=_md))(B)
     ).astype(np.float64)
-    rel = (np.abs(out - golden) / (1.0 + np.abs(golden))).max()
+    # fast's contract is "exact sum of bf16-rounded contributions":
+    # validate it against the bf16-rounded-input golden (vs the raw-f32
+    # golden it sits ~4e-2 in the quantization tail by construction).
+    gold = golden_bf16 if mode == "fast" else golden
+    rel = (np.abs(out - gold) / (1.0 + np.abs(gold))).max()
     assert rel < tol, (name, "mode", mode, rel)
     print(f"OK mode {name} {mode} rel={rel:.1e}", flush=True)
 
