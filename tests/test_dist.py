@@ -584,3 +584,48 @@ def test_halo_diag_compute_independent_of_collectives():
         "no scatter-add free of collective dependencies — the diagonal "
         "SpMM appears to consume exchanged data"
     )
+
+
+@pytest.mark.parametrize("reduce", ["sum", "max"])
+def test_halo_multipart_runtime_edge_value_grads(reduce):
+    # Multi-part windows + RUNTIME edge values: the per-window src maps
+    # (sliced with the window's edge offset — new in round 4) must route
+    # value gradients to the right edges.
+    from gespmm_tpu.ops.spmm import Adjacency, spmm
+    from gespmm_tpu.parallel.halo import (
+        build_halo_partition, halo_spmm, pad_for_halo, split_edge_values,
+    )
+
+    csr, mat = random_csr(64, 64, density=0.12, seed=47)
+    nd = 2
+    mesh = make_mesh(data=nd, model=1, devices=jax.devices()[:nd])
+    hp = build_halo_partition(csr, nd, tiled=True, chunk_nnz=8,
+                              rows_per_block=8, part_budget_rows=16)
+    assert all(len(cs) > 1 for cs in hp.tiled_cfgs)
+    adj = Adjacency.from_csr(csr, plan=True, col_tile=16, rows_per_block=8,
+                             chunk_nnz=8, part_rows=64)
+    B = np.random.default_rng(47).standard_normal((64, 8)).astype(np.float32)
+    Bd = jax.device_put(pad_for_halo(hp, jnp.asarray(B)),
+                        NamedSharding(mesh, P("data", None)))
+    vals = jnp.asarray(np.asarray(csr.data))
+
+    def loss_sharded(v):
+        dv, hv = split_edge_values(hp, v)
+        return jnp.sum(jnp.sin(halo_spmm(
+            hp, Bd, mesh, reduce=reduce, method="tiled", model_axis=None,
+            diag_vals=dv, halo_vals=hv,
+        )[:64]))
+
+    def loss_single(v):
+        return jnp.sum(jnp.sin(spmm(
+            adj.with_data(v), jnp.asarray(B), reduce=reduce, method="tiled"
+        )))
+
+    np.testing.assert_allclose(
+        float(jax.jit(loss_sharded)(vals)), float(loss_single(vals)),
+        rtol=1e-5, atol=1e-5,
+    )
+    g_shard = jax.jit(jax.grad(loss_sharded))(vals)
+    g_single = jax.grad(loss_single)(vals)
+    np.testing.assert_allclose(np.asarray(g_shard), np.asarray(g_single),
+                               rtol=1e-4, atol=1e-4)

@@ -493,3 +493,36 @@ def test_reduce_part_batched_scan_groups(op):
         np.testing.assert_array_equal(
             np.asarray(ties)[:40], golden_ties, err_msg=f"group={g}"
         )
+
+
+def test_adjacency_forward_only_plan():
+    # plan_transpose=False (forward-only use: inference / the sweep):
+    # tiled forward still runs; backward falls back to the XLA tier and
+    # stays correct; max/min grads also route through the no-ties path.
+    csr, mat = random_csr(40, 36, density=0.12, seed=51)
+    adj = Adjacency.from_csr(csr, plan=True, plan_transpose=False,
+                             col_tile=16, rows_per_block=8, chunk_nnz=8,
+                             part_rows=40)
+    assert adj.plan is not None and adj.plan_t is None
+    B = jnp.asarray(
+        np.random.default_rng(51).standard_normal((36, 8)).astype(np.float32)
+    )
+    out = spmm(adj, B, method="tiled")
+    np.testing.assert_allclose(np.asarray(out), mat @ np.asarray(B), **TOL)
+    dense = jnp.asarray(mat.toarray())
+    for reduce in ("sum", "max"):
+        def loss_sparse(b, _r=reduce):
+            return jnp.sum(jnp.sin(spmm(adj, b, reduce=_r, method="tiled")))
+
+        def loss_dense(b, _r=reduce):
+            if _r == "sum":
+                return jnp.sum(jnp.sin(dense @ b))
+            c = jnp.where(jnp.asarray(mat.toarray() != 0)[:, :, None],
+                          dense[:, :, None] * b[None], -jnp.inf)
+            o = jnp.max(c, axis=1)
+            return jnp.sum(jnp.sin(jnp.where(jnp.isfinite(o), o, 0.0)))
+
+        g1 = jax.grad(loss_sparse)(B)
+        g2 = jax.grad(loss_dense)(B)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                                   rtol=1e-3, atol=1e-4, err_msg=reduce)
