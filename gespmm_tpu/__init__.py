@@ -22,6 +22,11 @@ Layering (bottom-up):
 from gespmm_tpu.sparse.formats import CSR, CSC, COO, csr_from_coo, csr_to_csc
 from gespmm_tpu.ops.spmm import Adjacency, spmm
 from gespmm_tpu.ops.sddmm import sddmm, sddmm_coo
+from gespmm_tpu.ops.graph import (
+    attention_aggregate,
+    edge_softmax,
+    gcn_aggregate,
+)
 
 __version__ = "0.1.0"
 
@@ -35,5 +40,8 @@ __all__ = [
     "spmm",
     "sddmm",
     "sddmm_coo",
+    "attention_aggregate",
+    "edge_softmax",
+    "gcn_aggregate",
     "__version__",
 ]

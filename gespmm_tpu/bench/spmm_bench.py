@@ -26,25 +26,32 @@ import numpy as np
 
 
 def _append_csv(csv_file: str, row: dict) -> None:
-    """Append a row; start a fresh file whenever the schema changes;
-    REPLACE any existing row for the same graph (one row per graph —
-    re-running a subset must not leave stale duplicates, the round-3
-    sddmm_sweep.csv defect).
-    """
-    header = ",".join(row.keys())
-    lines = []
+    """Merge a row into the CSV: one row per graph (re-running a subset
+    REPLACES that graph's row — the round-3 stale-duplicate defect), and
+    the schema is the column UNION across runs (a partial re-run, e.g. a
+    single graph with a method subset after a TPU-worker fault, merges
+    into the existing file instead of wiping it)."""
+    import csv as _csv
+
+    rows = {}
+    cols = []
     if os.path.exists(csv_file):
         with open(csv_file) as f:
-            lines = f.read().splitlines()
-    if not lines or lines[0] != header:
-        lines = [header]
-    key = str(row["data"]) + ","
-    lines = [lines[0]] + [
-        ln for ln in lines[1:] if not ln.startswith(key)
-    ]
-    lines.append(",".join(str(v) for v in row.values()))
-    with open(csv_file, "w") as f:
-        f.write("\n".join(lines) + "\n")
+            rdr = _csv.DictReader(f)
+            cols = list(rdr.fieldnames or [])
+            for r in rdr:
+                rows[r["data"]] = r
+    for c in row:
+        if c not in cols:
+            cols.append(c)
+    merged = rows.get(str(row["data"]), {})
+    merged.update({k: str(v) for k, v in row.items()})
+    rows[str(row["data"])] = merged
+    with open(csv_file, "w", newline="") as f:
+        w = _csv.DictWriter(f, fieldnames=cols, restval="nan")
+        w.writeheader()
+        for r in rows.values():
+            w.writerow(r)
 
 
 def bench_graph(
@@ -63,9 +70,7 @@ def bench_graph(
     import jax
     import jax.numpy as jnp
 
-    from gespmm_tpu.ops import reference as ref
     from gespmm_tpu.ops.spmm import Adjacency, spmm
-    from gespmm_tpu.sparse.partition import build_spmm_plan
     from gespmm_tpu.utils import timing
     from gespmm_tpu.utils.datasets import (
         find_graph, load_mtx_graph, synth_graph,
@@ -92,7 +97,12 @@ def bench_graph(
 
     def tiled_adj_for(K: int):
         if K not in tiled_by_k:
-            tiled_by_k[K] = Adjacency.from_csr(csr, plan="tiled", k_hint=K)
+            tiled_by_k[K] = Adjacency.from_csr(
+                csr, plan="tiled", k_hint=K,
+                # forward-only benching: skip the transpose plan
+                # (halves plan memory + tunnel transfer on rmat20)
+                plan_transpose=False,
+            )
         return tiled_by_k[K]
 
     for method in methods:

@@ -10,7 +10,7 @@ vendor sparse matmul in place of our SpMM op.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Sequence
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp
@@ -212,8 +212,6 @@ class SAGEStock:
 
     @staticmethod
     def from_adjacency(adj, aggregator="mean"):
-        import numpy as np
-
         from gespmm_tpu.ops.interop import csr_to_bcoo
         from gespmm_tpu.sparse.formats import expand_indptr
 

@@ -9,7 +9,6 @@ trivially shardable with `jax.sharding.NamedSharding` in parallel/.
 from __future__ import annotations
 
 import math
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

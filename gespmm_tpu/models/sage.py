@@ -19,7 +19,6 @@ import dataclasses
 from typing import Optional, Sequence
 
 import jax
-import jax.numpy as jnp
 
 from gespmm_tpu.models.common import dense_apply, dense_init, dropout
 from gespmm_tpu.ops.graph import gcn_aggregate

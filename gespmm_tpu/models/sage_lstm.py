@@ -18,8 +18,7 @@ neighbors beyond the cap are dropped (sampling, as GraphSAGE prescribes).
 
 from __future__ import annotations
 
-import dataclasses
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

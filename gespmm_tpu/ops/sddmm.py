@@ -14,12 +14,11 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import Optional, Union
+from typing import Union
 
 import jax
-import jax.numpy as jnp
 
-from gespmm_tpu.sparse.formats import CSR, expand_indptr
+from gespmm_tpu.sparse.formats import expand_indptr
 from gespmm_tpu.ops import reference as ref
 
 Array = jax.Array

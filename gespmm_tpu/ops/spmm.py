@@ -30,12 +30,7 @@ from typing import Optional, Union
 import jax
 import jax.numpy as jnp
 
-from gespmm_tpu.sparse.formats import (
-    CSC,
-    CSR,
-    csr_to_csc,
-    expand_indptr,
-)
+from gespmm_tpu.sparse.formats import CSC, CSR, expand_indptr
 from gespmm_tpu.ops import reference as ref
 
 Array = jax.Array
@@ -82,12 +77,16 @@ class Adjacency:
         return cls(*children)
 
     @classmethod
-    def from_csr(cls, csr: CSR, plan=False, **plan_kwargs) -> "Adjacency":
+    def from_csr(cls, csr: CSR, plan=False, plan_transpose=True,
+                 **plan_kwargs) -> "Adjacency":
         """Build the paired adjacency.
 
         plan: False (no tile plan) | True / "auto" / "tiled" (the stream
         plan — the fastest tier measured on v5e) | "grouped" | "perrow"
         (the per-row-DMA Pallas kernels, kept as explicit tiers).
+        plan_transpose=False skips the TRANSPOSE plan (forward-only use,
+        e.g. inference or the benchmark sweep — halves plan memory; the
+        backward then rides the XLA tier).
 
         All preprocessing is staged on HOST (one device fetch per array,
         native C++ transpose when available): with arrays resident on a
@@ -137,7 +136,10 @@ class Adjacency:
                 data=None, shape=(n, m), nnz=nnz,
             )
             p = _build_plan(host_csr, kind, plan_kwargs)
-            pt = _build_plan(host_csr_t, kind, plan_kwargs)
+            pt = (
+                _build_plan(host_csr_t, kind, plan_kwargs)
+                if plan_transpose else None
+            )
         rows = jnp.asarray(
             np.repeat(np.arange(m, dtype=np.int32), np.diff(indptr_h))
         )

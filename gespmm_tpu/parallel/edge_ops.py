@@ -31,7 +31,6 @@ the column-side gradients.
 
 from __future__ import annotations
 
-import functools
 from typing import Optional, Tuple
 
 import jax

@@ -512,11 +512,17 @@ def build_tiled_plan(
         # fits the fast-gather tier: no piece concatenation, no chunk
         # breaks at tile boundaries (measured: pubmed 66->76, rmat14
         # 56->85, rmat16 58->84 GF/s at K=128).  The fast tier extends
-        # to ~44MB tables (pubmed K=512's 40MB single table runs 134
-        # GF/s vs 73 for the 8192-row multi-tile layout); the cliff is
-        # somewhere below 64MB (rmat16 K=512's 64MB slab tables lose to
-        # 16MB multi-tile ones, 52 vs 63 GF/s).
-        if n * 4 * max(k_hint, 1) <= (44 << 20):
+        # to ~44MB tables when rows are WIDE (pubmed K=512's 40MB single
+        # table runs 134 GF/s vs 73 for the 8192-row multi-tile layout);
+        # at NARROW K the per-row gather cost tracks table bytes (round-2
+        # microbench: ~2ns/row at <=8MB, 5.6 at 32MB), so a 33MB K=32
+        # table runs the slow tier — rmat18 K=32 measured 4.9 GF/s
+        # single-table (r4) vs ~25 expected from the rmat16 8MB point.
+        # Narrow K therefore caps the single table at 12MB.
+        tbl_bytes = n * 4 * max(k_hint, 1)
+        if tbl_bytes <= (44 << 20) and (
+            k_hint >= 128 or tbl_bytes <= (12 << 20)
+        ):
             col_tile = max(n, 1)
         else:
             # Multi-tile: the per-row gather cost rises steeply with the

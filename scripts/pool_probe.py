@@ -37,7 +37,7 @@ def bench(label, step, x0):
     print(f"| {label} | {r.median_s * 1e3:.3f} |", flush=True)
 
 
-print("# SAGE-pool cost decomposition — pubmed, dims [128,16,3] (round 3)")
+print("# SAGE-pool cost decomposition — pubmed, dims [128,16,3] (round 4)")
 print()
 print("| component | ms |")
 print("|---|---|")
@@ -122,6 +122,10 @@ print()
 print("Timing: utils/timing.benchmark_chained (queue-fenced, "
       "RTT-subtracted, data-chained iterations in one jit).")
 print("""
+Canonical epoch number: bench_results/sage_pool_epoch.json (the
+train loop the A/B uses); the chained-step row above carries its own
+fori_loop harness overhead.
+
 ## Where the pool epoch floor is (round-4 analysis)
 
 The step = 2x max fwd+bwd (one per layer, at K=128 and K=16) + the dense

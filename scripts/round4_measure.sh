@@ -41,11 +41,25 @@ python -m gespmm_tpu.bench.spmm_bench \
 #     handling records error cells instead of dying; stderr carries
 #     per-cell progress lines; dual roofline columns.
 python -m gespmm_tpu.bench.spmm_bench \
-  --graphs cora citeseer pubmed rmat14 rmat16 rmat18 rmat20 \
+  --graphs cora citeseer pubmed rmat14 rmat16 rmat18 \
   --k 32 128 512 --validate --roofline \
   --methods xla tiled tiled-hilo bcoo \
   --csv bench_results/spmm_sweep.csv \
   > bench_results/spmm_sweep.jsonl \
+  2>> bench_results/spmm_sweep_errors.log
+# rmat20 runs in ITS OWN process: a TPU-worker crash mid-graph poisons
+# every later cell of that client (observed r4: a worker fault at the
+# first rmat20 cell turned the rest UNAVAILABLE); isolation caps the
+# blast radius at one graph.  The XLA segment tier itself is what
+# faults the worker at this scale (31.4M edges — reproduced twice at
+# K=32), so rmat20 sweeps the kernel tiers + BCOO only; the CSV writer
+# field-merges the row into the union schema.
+python -m gespmm_tpu.bench.spmm_bench \
+  --graphs rmat20 \
+  --k 32 128 512 --validate --roofline \
+  --methods tiled tiled-hilo bcoo \
+  --csv bench_results/spmm_sweep.csv \
+  >> bench_results/spmm_sweep.jsonl \
   2>> bench_results/spmm_sweep_errors.log
 
 # 4b. Extended sweep (VERDICT r3 #8): K in {64,256,512} (BASELINE.md's
