@@ -368,6 +368,11 @@ def bench_graph(
     row = {"data": name, "m": m, "n": n, "nnz": csr.nnz}
     for (K, method), v in results.items():
         row[f"K={K}-{method}-gflops"] = round(v.get("gflops", float("nan")), 2)
+        if "k_fallback" in v:
+            # An OOM-halved cell ran at a NARROWER width (≙ the
+            # reference's max_ncols ladder) — record it next to the
+            # number so the column is never silently mislabeled.
+            row[f"K={K}-{method}-width"] = v["k_fallback"]
     if csv_file:
         _append_csv(csv_file, row)
     return row, results

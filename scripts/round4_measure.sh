@@ -50,14 +50,18 @@ python -m gespmm_tpu.bench.spmm_bench \
 # rmat20 runs in ITS OWN process: a TPU-worker crash mid-graph poisons
 # every later cell of that client (observed r4: a worker fault at the
 # first rmat20 cell turned the rest UNAVAILABLE); isolation caps the
-# blast radius at one graph.  The XLA segment tier itself is what
-# faults the worker at this scale (31.4M edges — reproduced twice at
-# K=32), so rmat20 sweeps the kernel tiers + BCOO only; the CSV writer
-# field-merges the row into the union schema.
+# blast radius at one graph.  The single-gather formulations (XLA
+# segment tier AND stock BCOO) both FAULT the worker at this scale —
+# 31.4M-index gathers from an HBM table; reproduced three times at the
+# first such cell — so rmat20 sweeps the stream-kernel tiers only
+# (their gathers are per-tile takes from VMEM-sized tables, which the
+# runtime handles).  The CSV writer field-merges the row into the
+# union schema; xla/bcoo cells stay nan with the fault recorded in
+# spmm_sweep_errors.log.
 python -m gespmm_tpu.bench.spmm_bench \
   --graphs rmat20 \
   --k 32 128 512 --validate --roofline \
-  --methods tiled tiled-hilo bcoo \
+  --methods tiled tiled-hilo \
   --csv bench_results/spmm_sweep.csv \
   >> bench_results/spmm_sweep.jsonl \
   2>> bench_results/spmm_sweep_errors.log

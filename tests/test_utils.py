@@ -110,3 +110,21 @@ def test_bench_rectangular_graph_cpu():
     assert row["m"] == 512 and row["n"] == 128
     for key, v in results.items():
         assert "error" not in v, (key, v)
+
+
+def test_append_csv_field_merge():
+    # One row per graph; partial re-runs (method subsets after a worker
+    # fault) field-merge into the union schema instead of wiping rows.
+    import os
+    import tempfile
+    from gespmm_tpu.bench.spmm_bench import _append_csv
+
+    with tempfile.TemporaryDirectory() as d:
+        f = os.path.join(d, "t.csv")
+        _append_csv(f, {"data": "a", "x": 1, "y": 2})
+        _append_csv(f, {"data": "b", "x": 3, "y": 4})
+        _append_csv(f, {"data": "b", "y": 9, "z": 7})
+        lines = open(f).read().strip().split("\n")
+        assert lines[0] == "data,x,y,z"
+        assert lines[1] == "a,1,2,nan"
+        assert lines[2] == "b,3,9,7"
