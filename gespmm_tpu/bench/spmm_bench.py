@@ -39,8 +39,14 @@ def _append_csv(csv_file: str, row: dict) -> None:
         with open(csv_file) as f:
             rdr = _csv.DictReader(f)
             cols = list(rdr.fieldnames or [])
-            for r in rdr:
-                rows[r["data"]] = r
+            # A pre-existing CSV without the 'data' key column (foreign
+            # format) would KeyError here and lose the just-measured
+            # results — rewrite such a file from scratch instead.
+            if "data" in cols:
+                for r in rdr:
+                    rows[r["data"]] = r
+            else:
+                cols = []
     for c in row:
         if c not in cols:
             cols.append(c)
@@ -63,7 +69,6 @@ def bench_graph(
     chunk_nnz: int = 64,
     csv_file: Optional[str] = None,
     seed: int = 0,
-    scale_if_synth: int = 16,
     validate: bool = False,
     tol: float = 2e-3,
 ):

@@ -30,6 +30,36 @@ Array = jax.Array
 # plus mean/min which DGL exposes at the same layer.
 REDUCTIONS = ("sum", "max", "min", "mean")
 
+# Single-gather formulations (one jnp.take over ALL nnz indices feeding a
+# segment-reduce or scatter-add) reproducibly FAULT the TPU worker at
+# rmat20 scale — 31.4M edges kills the process, not the program
+# (bench_results/spmm_sweep_errors.log; repro: scripts/rmat20_fault_repro.py).
+# The largest scale measured healthy is rmat18 (7.6M edges, K=512).  Guard
+# the tiers at a conservative threshold so a library user cannot hard-fault
+# a shared chip by accident — the defensive-allocation spirit of the
+# reference's OOM-halving retry (`spmm_test.cu:619-634`), applied to the
+# failure mode TPU actually has.  Override (at your own risk / to probe a
+# fixed runtime): set GESPMM_UNSAFE_XLA_SEGMENT=1.
+XLA_SEGMENT_NNZ_LIMIT = 16 * 1024 * 1024
+
+
+def _check_segment_scale(nnz: int, what: str) -> None:
+    import os
+
+    if (
+        nnz > XLA_SEGMENT_NNZ_LIMIT
+        and jax.default_backend() == "tpu"
+        and not os.environ.get("GESPMM_UNSAFE_XLA_SEGMENT")
+    ):
+        raise ValueError(
+            f"{what} over {nnz} nonzeros exceeds the {XLA_SEGMENT_NNZ_LIMIT}"
+            " guard: single-gather XLA formulations reproducibly FAULT the"
+            " TPU worker process at 31.4M edges (rmat20; see"
+            " scripts/rmat20_fault_repro.py). Use method='tiled' (the"
+            " stream kernel measures fine at this scale) or set"
+            " GESPMM_UNSAFE_XLA_SEGMENT=1 to bypass."
+        )
+
 
 def _gather_scale(
     indices: Array, data: Optional[Array], B: Array
@@ -59,6 +89,7 @@ def spmm_rows_xla(
     """
     if reduce not in REDUCTIONS:
         raise ValueError(f"reduce must be one of {REDUCTIONS}, got {reduce!r}")
+    _check_segment_scale(int(indices.shape[0]), "spmm_rows_xla")
     contrib = _gather_scale(indices, data, B)
     acc_dtype = jnp.promote_types(contrib.dtype, jnp.float32)
     contrib32 = contrib.astype(acc_dtype)
@@ -220,7 +251,65 @@ def spmm_scatter_xla(
     can be reproduced on TPU (scatter lowers to XLA scatter-add instead of
     segment-sum's sorted reduction).
     """
+    _check_segment_scale(int(indices.shape[0]), "spmm_scatter_xla")
     contrib = _gather_scale(indices, data, B)
     acc = jnp.promote_types(contrib.dtype, jnp.float32)
     out = jnp.zeros((m, B.shape[1]), acc)
     return out.at[rows].add(contrib.astype(acc)).astype(B.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Dense-MXU crossover baseline (the merge-spmm "third baseline" role)
+# ---------------------------------------------------------------------------
+
+# Densifying A costs m*n*4 bytes; cap it so a careless call cannot OOM the
+# chip (v5e: 16 GB HBM; 4 GB leaves room for B, C, and the caller).
+DENSE_BYTES_LIMIT = 4 << 30
+
+
+def spmm_dense_xla(
+    rows: Array,
+    indices: Array,
+    data: Optional[Array],
+    B: Array,
+    m: int,
+    reduce: str = "sum",
+) -> Array:
+    """Densify-and-matmul SpMM: A_dense @ B on the MXU.
+
+    The third-baseline role of the reference's merge-spmm build
+    (`compile.sh:5-13`, `run_test.sh:12-16`): a fundamentally different
+    formulation that quantifies where the sparse kernels stop paying.  On
+    an MXU machine the question is sharper than on GPU — the systolic
+    array runs dense f32 matmul at ~50 TF/s, so a graph only ~0.1% dense
+    (cora) may be cheaper to densify than to gather.  Scatter-builds the
+    dense A (one nnz-sized scatter, paid once per call), then one matmul.
+
+    Guards: m*n*4 bytes must be under DENSE_BYTES_LIMIT (raise, don't
+    OOM) — the bench records the cell as guarded, the same observable as
+    merge-spmm's max_ncols ladder skipping a width.
+    """
+    if reduce != "sum":
+        raise ValueError("spmm_dense_xla supports reduce='sum' only")
+    n = B.shape[0]
+    dense_bytes = m * n * 4
+    if dense_bytes > DENSE_BYTES_LIMIT:
+        raise ValueError(
+            f"dense A would be {dense_bytes/2**30:.1f} GiB "
+            f"(> {DENSE_BYTES_LIMIT / 2**30:.0f} GiB guard): the dense-MXU "
+            "tier is a small-graph crossover baseline, not a large-graph "
+            "path; use method='tiled'"
+        )
+    vals = (
+        jnp.ones(indices.shape, jnp.float32)
+        if data is None else data.astype(jnp.float32)
+    )
+    A = jnp.zeros((m, n), jnp.float32).at[rows, indices].add(vals)
+    # Precision.HIGH = 3 bf16 MXU passes on TPU — the same f32-grade as
+    # the stream kernel's default "trilo" tier, so the crossover
+    # comparison is precision-for-precision fair (DEFAULT would be one
+    # bf16 pass ≙ mode="fast").
+    out = jnp.dot(A, B.astype(jnp.float32),
+                  preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.HIGH)
+    return out.astype(B.dtype)

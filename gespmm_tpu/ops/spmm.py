@@ -302,6 +302,14 @@ def _forward(cfg: _SpmmConfig, indptr, indices, data, plan, B, rows=None) -> Arr
             indptr, indices.shape[0]
         )
         return ref.spmm_scatter_xla(r, indices, data, B, cfg.m)
+    if method == "dense" and cfg.reduce == "sum":
+        # Densify-and-matmul crossover baseline (≙ the merge-spmm third-
+        # baseline role, `run_test.sh:12-16`): quantifies where sparsity
+        # stops paying on an MXU machine.  Size-guarded; small graphs only.
+        r = rows if rows is not None else expand_indptr(
+            indptr, indices.shape[0]
+        )
+        return ref.spmm_dense_xla(r, indices, data, B, cfg.m)
     return ref.spmm_best_xla(
         indptr, indices, data, B, reduce=cfg.reduce, rows=rows
     )
@@ -437,6 +445,7 @@ _METHOD_REDUCES = {
     "tiled": ("sum", "mean", "max", "min"),
     "pallas": ("sum", "mean"),
     "scatter": ("sum", "mean"),
+    "dense": ("sum", "mean"),
     "xla": ("sum", "mean", "max", "min"),
     "auto": ("sum", "mean", "max", "min"),
 }
@@ -487,7 +496,8 @@ def spmm(
         Pallas tile plan) or a bare `CSR` (transpose built on the fly).
       B: dense matrix (n, K).
       reduce: "sum" | "mean" | "max" | "min".
-      method: "auto" | "tiled" | "xla" | "pallas" | "scatter".
+      method: "auto" | "tiled" | "xla" | "pallas" | "scatter" | "dense"
+        (the densify-and-matmul crossover baseline; size-guarded).
       mode: stream-kernel precision tier (tiled path only):
         "trilo" (default — matches f32 accumulation to roundoff, 3 bf16
         MXU passes) | "hilo" (2 passes, ~1e-5 relative, halves the MXU

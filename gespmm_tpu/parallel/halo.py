@@ -274,7 +274,11 @@ def _sliced_uniform_plans(
         return (cfg,), (arr,)
     n_slices = -(-out_rows // budget)
     w = -(-out_rows // n_slices)
-    w = -(-w // 8) * 8  # 8-aligned windows keep the kernel's row tiles
+    # 8-aligned windows keep the kernel's row tiles; align DOWN (clamped
+    # to the budget) so a user-passed part_budget is a true ceiling — an
+    # upward alignment could exceed it by up to 7 rows.
+    w = min(-(-w // 8) * 8, (budget // 8) * 8)
+    w = max(w, 8)
     cfgs, arrs = [], []
     for r0 in range(0, out_rows, w):
         r1 = min(r0 + w, out_rows)
@@ -1019,8 +1023,8 @@ def halo_spmm(
     at partition time — pass them to train edge-weighted models (both
     must be given together).
 
-    method: "auto" (tiled when plans were built and reduce is sum/mean,
-    else xla) | "tiled" | "xla".
+    method: "auto" (tiled whenever plans were built — every reduce rides
+    the stream tier — else xla) | "tiled" | "xla".
     """
     if reduce not in ("sum", "mean", "max", "min"):
         raise ValueError(f"unknown reduce {reduce!r}")

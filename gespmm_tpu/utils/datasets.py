@@ -182,11 +182,111 @@ def bipartite_graph(
     return csr_from_coo(coo)
 
 
+def _coo_to_csr(rows: np.ndarray, cols: np.ndarray, shape) -> CSR:
+    """Dedup + sort row-major + build CSR (shared tail of the generators)."""
+    m, n = shape
+    key = rows.astype(np.int64) * n + cols
+    _, uniq = np.unique(key, return_index=True)
+    rows, cols = rows[uniq], cols[uniq]
+    order = np.lexsort((cols, rows))
+    rows, cols = rows[order], cols[order]
+    coo = COO(
+        row=jnp.asarray(rows.astype(np.int32)),
+        col=jnp.asarray(cols.astype(np.int32)),
+        data=None,
+        shape=(m, n),
+    )
+    return csr_from_coo(coo)
+
+
+def chung_lu_graph(
+    n: int, avg_degree: int = 16, gamma: float = 2.3, seed: int = 0,
+) -> CSR:
+    """Chung-Lu power-law graph: edge (i,j) sampled ∝ w_i·w_j with
+    Pareto weights w_i ∝ (i+1)^(-1/(γ-1)).
+
+    Unlike R-MAT (recursive quadrant bias → fractal community structure),
+    Chung-Lu has an EXACT target degree-distribution shape and no
+    block structure — the other canonical power-law family the
+    reference's SNAP corpus spans (soc-*/web-* graphs).  Sampled by
+    inverse-CDF on the weight distribution (vectorized, no rejection).
+    """
+    rng = np.random.default_rng(seed)
+    w = (np.arange(1, n + 1, dtype=np.float64)) ** (-1.0 / (gamma - 1.0))
+    p = w / w.sum()
+    cdf = np.cumsum(p)
+    ne = n * avg_degree // 2
+    rows = np.searchsorted(cdf, rng.random(ne)).astype(np.int64)
+    cols = np.searchsorted(cdf, rng.random(ne)).astype(np.int64)
+    keep = rows != cols
+    rows, cols = rows[keep], cols[keep]
+    rows, cols = (
+        np.concatenate([rows, cols]), np.concatenate([cols, rows]),
+    )
+    return _coo_to_csr(rows, cols, (n, n))
+
+
+def grid2d_graph(side: int, stencil: int = 5) -> CSR:
+    """2-D grid/stencil matrix (side × side nodes, 5- or 9-point
+    stencil, diagonal excluded): the mesh/PDE regime of the reference's
+    SuiteSparse corpus — perfectly uniform degree, maximal spatial
+    locality in 2-D but NOT in the 1-D row order (unlike banded_graph,
+    neighbors sit ±side away), which is what stresses gather-table
+    locality.
+    """
+    if stencil not in (5, 9):
+        raise ValueError("stencil must be 5 or 9")
+    offs = [(-1, 0), (1, 0), (0, -1), (0, 1)]
+    if stencil == 9:
+        offs += [(-1, -1), (-1, 1), (1, -1), (1, 1)]
+    n = side * side
+    ii = np.arange(n, dtype=np.int64)
+    x, y = ii // side, ii % side
+    rows_l, cols_l = [], []
+    for dx, dy in offs:
+        ok = (x + dx >= 0) & (x + dx < side) & (y + dy >= 0) & (y + dy < side)
+        rows_l.append(ii[ok])
+        cols_l.append((x[ok] + dx) * side + (y[ok] + dy))
+    return _coo_to_csr(
+        np.concatenate(rows_l), np.concatenate(cols_l), (n, n)
+    )
+
+
+def hub_graph(
+    n: int, n_hubs: int = 4, hub_frac: float = 0.25,
+    base_degree: int = 4, seed: int = 0,
+) -> CSR:
+    """Extreme-hub graph: a sparse uniform background (degree
+    ``base_degree``) plus ``n_hubs`` nodes each adjacent to a random
+    ``hub_frac`` of ALL nodes.  The degree distribution's worst case for
+    row-windowed plans and the max/min segmented scan: a single (tile,
+    row) run can span many full chunks (max_run ≈ hub_frac·n/n_tiles),
+    far beyond anything R-MAT's smooth skew produces.
+    """
+    rng = np.random.default_rng(seed)
+    rows = rng.integers(0, n, size=n * base_degree).astype(np.int64)
+    cols = rng.integers(0, n, size=n * base_degree).astype(np.int64)
+    hub_ids = rng.choice(n, size=n_hubs, replace=False).astype(np.int64)
+    per_hub = int(n * hub_frac)
+    for h in hub_ids:
+        nbrs = rng.choice(n, size=per_hub, replace=False).astype(np.int64)
+        rows = np.concatenate([rows, np.full(per_hub, h, np.int64)])
+        cols = np.concatenate([cols, nbrs])
+    keep = rows != cols
+    rows, cols = rows[keep], cols[keep]
+    rows, cols = (
+        np.concatenate([rows, cols]), np.concatenate([cols, rows]),
+    )
+    return _coo_to_csr(rows, cols, (n, n))
+
+
 def synth_graph(name: str, seed: int = 0) -> Optional[CSR]:
     """Resolve a synthetic-corpus name to its generator:
 
     ``rmat<scale>`` | ``banded<n>[-<bw>]`` | ``rect<m>x<n>[-<deg>]`` |
-    ``sbm<n_per_class>``.  Returns None for unknown names.
+    ``cl<n>[-<deg>]`` (Chung-Lu) | ``grid<side>[-<stencil>]`` |
+    ``hub<n>[-<nhubs>]`` | ``sbm<n_per_class>``.
+    Returns None for unknown names.
     """
     import re
 
@@ -198,6 +298,13 @@ def synth_graph(name: str, seed: int = 0) -> Optional[CSR]:
     if m := re.fullmatch(r"rect(\d+)x(\d+)(?:-(\d+))?", name):
         return bipartite_graph(int(m.group(1)), int(m.group(2)),
                                int(m.group(3) or 16), seed=seed)
+    if m := re.fullmatch(r"cl(\d+)(?:-(\d+))?", name):
+        return chung_lu_graph(int(m.group(1)),
+                              int(m.group(2) or 16), seed=seed)
+    if m := re.fullmatch(r"grid(\d+)(?:-(\d+))?", name):
+        return grid2d_graph(int(m.group(1)), int(m.group(2) or 5))
+    if m := re.fullmatch(r"hub(\d+)(?:-(\d+))?", name):
+        return hub_graph(int(m.group(1)), int(m.group(2) or 4), seed=seed)
     if m := re.fullmatch(r"sbm(\d+)", name):
         return sbm_graph(n_per_class=int(m.group(1)), seed=seed).csr
     return None

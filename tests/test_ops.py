@@ -286,3 +286,55 @@ def test_additive_attention_logits_and_grads():
         for a, b in zip(g1, g2):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-5, atol=1e-6)
+
+
+def test_spmm_dense_method_matches_scipy():
+    # The densify-and-matmul crossover baseline (≙ the merge-spmm third-
+    # baseline role, reference run_test.sh:12-16): numerics must match.
+    csr, mat = random_csr(57, 43, density=0.12, seed=11)
+    B = np.random.default_rng(4).standard_normal((43, 16)).astype(np.float32)
+    out = spmm(csr, jnp.asarray(B), method="dense")
+    np.testing.assert_allclose(np.asarray(out), mat @ B, rtol=1e-4, atol=1e-4)
+    out_m = spmm(csr, jnp.asarray(B), reduce="mean", method="dense")
+    deg = np.maximum(np.diff(mat.indptr), 1)[:, None]
+    np.testing.assert_allclose(
+        np.asarray(out_m), (mat @ B) / deg, rtol=1e-4, atol=1e-4
+    )
+
+
+def test_spmm_dense_size_guard():
+    # The dense tier must refuse (not OOM) when densified A is too large.
+    from gespmm_tpu.ops import reference as ref
+
+    rows = jnp.zeros((4,), jnp.int32)
+    cols = jnp.zeros((4,), jnp.int32)
+    B = jnp.zeros((1 << 18, 8), jnp.float32)
+    with pytest.raises(ValueError, match="dense A would be"):
+        ref.spmm_dense_xla(rows, cols, None, B, 1 << 18)
+
+
+def test_xla_segment_guard():
+    # The single-gather XLA tiers fault the TPU worker at rmat20 scale;
+    # the guard must raise on TPU backends and stay silent on CPU (where
+    # the fault does not exist).  Monkeypatch the backend probe so the
+    # TPU branch is exercised without a chip.
+    from gespmm_tpu.ops import reference as ref
+
+    n = ref.XLA_SEGMENT_NNZ_LIMIT + 1
+    # CPU backend: no raise (cheap check — don't materialize n indices).
+    ref._check_segment_scale(n, "t")
+
+    orig = jax.default_backend
+    try:
+        jax.default_backend = lambda: "tpu"
+        with pytest.raises(ValueError, match="FAULT the TPU worker"):
+            ref._check_segment_scale(n, "t")
+        import os
+        os.environ["GESPMM_UNSAFE_XLA_SEGMENT"] = "1"
+        try:
+            ref._check_segment_scale(n, "t")  # bypass honored
+        finally:
+            del os.environ["GESPMM_UNSAFE_XLA_SEGMENT"]
+        ref._check_segment_scale(ref.XLA_SEGMENT_NNZ_LIMIT, "t")  # at limit ok
+    finally:
+        jax.default_backend = orig

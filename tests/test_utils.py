@@ -128,3 +128,47 @@ def test_append_csv_field_merge():
         assert lines[0] == "data,x,y,z"
         assert lines[1] == "a,1,2,nan"
         assert lines[2] == "b,3,9,7"
+
+
+def test_synth_graph_generators_r5():
+    # Round-5 corpus widening (VERDICT r4 #7): Chung-Lu power-law, 2-D
+    # grid stencil, and extreme-hub graphs resolve by name.
+    import numpy as np
+    from gespmm_tpu.utils.datasets import synth_graph
+
+    cl = synth_graph("cl1024-8")
+    assert cl.shape == (1024, 1024)
+    deg = np.diff(np.asarray(cl.indptr))
+    # Power-law: the top node's degree dwarfs the mean.
+    assert deg.max() > 10 * deg.mean()
+
+    g5 = synth_graph("grid32")
+    assert g5.shape == (1024, 1024)
+    d5 = np.diff(np.asarray(g5.indptr))
+    assert d5.max() == 4 and d5.min() == 2  # corners have 2 neighbors
+    g9 = synth_graph("grid32-9")
+    assert np.diff(np.asarray(g9.indptr)).max() == 8
+
+    h = synth_graph("hub1024-2")
+    assert h.shape == (1024, 1024)
+    dh = np.diff(np.asarray(h.indptr))
+    # Hubs reach ~hub_frac of all nodes; background degree is tiny.
+    assert dh.max() > 1024 * 0.2
+    assert np.median(dh) < 20
+
+
+def test_append_csv_foreign_format_rewrites():
+    # A pre-existing CSV WITHOUT the 'data' key column must not KeyError
+    # (and lose the just-measured row) — it is rewritten from scratch.
+    import os
+    import tempfile
+    from gespmm_tpu.bench.spmm_bench import _append_csv
+
+    with tempfile.TemporaryDirectory() as d:
+        f = os.path.join(d, "t.csv")
+        with open(f, "w") as fh:
+            fh.write("name,val\nfoo,1\n")
+        _append_csv(f, {"data": "a", "x": 1})
+        lines = open(f).read().strip().split("\n")
+        assert lines[0] == "data,x"
+        assert lines[1] == "a,1"
