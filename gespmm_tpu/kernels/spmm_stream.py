@@ -401,6 +401,14 @@ def spmm_tiled(
         raise ValueError(f"spmm_tiled reduce must be sum/max/min, got {reduce!r}")
     if want_ties and reduce == "sum":
         raise ValueError("want_ties requires reduce='max' or 'min'")
+    # Tie counts accumulate in f32 (exact integers < 2^24 ≫ any real
+    # row degree), so the aligned tier needs no count guard.
+    mm = getattr(plan, "minmax", None)
+    if reduce in ("max", "min") and mm is not None:
+        return spmm_minmax_aligned(
+            mm, data, B, m, reduce=reduce, want_ties=want_ties,
+            interpret=interpret,
+        )
     if want_ties:
         # The kernel's hi/lo bf16 split of per-chunk tie counts is exact
         # only for integers < 2^16; a chunk contributes at most E
@@ -505,6 +513,120 @@ def spmm_tiled(
     if want_ties:
         t = ties[0] if len(ties) == 1 else jnp.concatenate(ties, 0)
         return out.astype(B.dtype), t[:m, :K]
+    return out.astype(B.dtype)
+
+
+def spmm_minmax_aligned(
+    aplan,
+    data: Optional[Array],
+    B: Array,
+    m: int,
+    *,
+    reduce: str = "max",
+    want_ties: bool = False,
+    interpret: Optional[bool] = None,
+):
+    """Scan-free, kernel-free max/min SpMM over the row-aligned layout.
+
+    Pure XLA: per degree class one slice of a single padded-table gather
+    reshape-reduces to per-row-segment candidates (+ achieving counts
+    when ``want_ties``); mega rows recurse through the plan's extra
+    levels; the final scatter is an inverse-permutation ``take``
+    (rows partition across classes — see
+    `sparse/partition.AlignedMinmaxPlan`).  Replaces the stream kernel's
+    ceil(log2(hub-degree)) full-stream scan passes (VERDICT r4 #4, the
+    SAGE-pool floor in bench_results/pool_profile.md).
+
+    Semantics identical to the scan path: empty rows 0, even
+    tie-splitting counts, exact selections.
+    """
+    del interpret  # same code path everywhere — no Pallas kernel
+    n, K = B.shape
+    fold = jnp.max if reduce == "max" else jnp.min
+    ident = jnp.float32(-jnp.inf if reduce == "max" else jnp.inf)
+    # Bound the materialized per-class gather (the same HBM discipline
+    # as spmm_tiled's K-slabbing).
+    if aplan.num_slots * 4 * K > _STREAM_BUDGET and K > 128:
+        k_slab = max(
+            128, (_STREAM_BUDGET // (aplan.num_slots * 4) // 128) * 128
+        )
+        outs = [
+            spmm_minmax_aligned(
+                aplan, data, B[:, k0 : k0 + k_slab], m, reduce=reduce,
+                want_ties=want_ties,
+            )
+            for k0 in range(0, K, k_slab)
+        ]
+        if want_ties:
+            return (jnp.concatenate([o[0] for o in outs], axis=1),
+                    jnp.concatenate([o[1] for o in outs], axis=1))
+        return jnp.concatenate(outs, axis=1)
+
+    # Level-0 table: B (+ edge-value scaling) with a sentinel identity
+    # row appended so pad slots need no mask.
+    tbl = jnp.concatenate(
+        [B.astype(jnp.float32), jnp.full((1, K), ident)], axis=0
+    )
+    data_ext = (
+        None if data is None
+        else jnp.concatenate(
+            [data.astype(jnp.float32), jnp.ones((1,), jnp.float32)]
+        )
+    )
+    cand_parts = []   # per-level candidate arrays (concat = index space)
+    cnt_parts = []
+    for li, lv in enumerate(aplan.levels):
+        if li == 0:
+            g = jnp.take(tbl, lv.idx, axis=0)
+            if data_ext is not None:
+                g = g * jnp.take(data_ext, lv.src, axis=0)[:, None]
+            gc = None
+        else:
+            prev = jnp.concatenate(
+                cand_parts + [jnp.full((1, K), ident)], axis=0
+            )
+            g = jnp.take(prev, lv.idx, axis=0)
+            if want_ties:
+                prevc = jnp.concatenate(
+                    cnt_parts + [jnp.zeros((1, K), jnp.float32)], axis=0
+                )
+                gc = jnp.take(prevc, lv.idx, axis=0)
+        cands = []
+        cnts = []
+        for s0, s1, W in lv.class_slices:
+            gr = g[s0:s1].reshape(-1, W, K)
+            cand = fold(gr, axis=1)
+            cands.append(cand)
+            if want_ties:
+                hit = gr == cand[:, None, :]
+                if li == 0:
+                    # Pad slots hold the identity, which never equals a
+                    # finite winning value (finite-values contract).
+                    cnts.append(jnp.sum(hit.astype(jnp.float32), axis=1))
+                else:
+                    cnts.append(jnp.sum(
+                        jnp.where(hit, gc[s0:s1].reshape(-1, W, K), 0.0),
+                        axis=1,
+                    ))
+        cand_parts.append(
+            cands[0] if len(cands) == 1 else jnp.concatenate(cands, axis=0)
+        )
+        if want_ties:
+            cnt_parts.append(
+                cnts[0] if len(cnts) == 1 else jnp.concatenate(cnts, axis=0)
+            )
+
+    all_cand = jnp.concatenate(
+        cand_parts + [jnp.full((1, K), ident)], axis=0
+    )
+    out = jnp.take(all_cand, aplan.inv_map, axis=0)
+    out = jnp.where(jnp.isfinite(out), out, 0.0)[:m, :K]
+    if want_ties:
+        all_cnt = jnp.concatenate(
+            cnt_parts + [jnp.zeros((1, K), jnp.float32)], axis=0
+        )
+        ties = jnp.take(all_cnt, aplan.inv_map, axis=0)[:m, :K]
+        return out.astype(B.dtype), ties
     return out.astype(B.dtype)
 
 

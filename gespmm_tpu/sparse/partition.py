@@ -398,13 +398,18 @@ class TiledSpmmPlan:
     col_tile: int
     shape: Tuple[int, int]
     nnz: int
+    # Optional row-aligned max/min layout (round 5): when present,
+    # `spmm_tiled(reduce="max"/"min")` routes to the scan-free aligned
+    # kernel instead of the in-kernel segmented scan.
+    minmax: Optional["AlignedMinmaxPlan"] = None
 
     def tree_flatten(self):
-        return (self.parts,), (self.col_tile, self.shape, self.nnz)
+        return (self.parts, self.minmax), (self.col_tile, self.shape,
+                                           self.nnz)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(children[0], *aux)
+        return cls(children[0], aux[0], aux[1], aux[2], children[1])
 
     @property
     def num_slots(self) -> int:
@@ -479,6 +484,7 @@ def build_tiled_plan(
     chunk_nnz: int = 256,
     part_rows: int = 65536,
     k_hint: int = 128,
+    minmax_aligned: bool = True,
 ) -> TiledSpmmPlan:
     """Host-side construction of the stream-reduce plan.
 
@@ -700,6 +706,225 @@ def build_tiled_plan(
         if m == 0:
             break
 
+    mm = (
+        build_aligned_minmax_plan(csr, k_hint=k_hint)
+        if minmax_aligned else None
+    )
     return TiledSpmmPlan(
-        parts=tuple(parts), col_tile=col_tile, shape=(m, n), nnz=nnz
+        parts=tuple(parts), col_tile=col_tile, shape=(m, n), nnz=nnz,
+        minmax=mm,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Row-aligned max/min layout (round 5): scan-free, kernel-free reduction
+# ---------------------------------------------------------------------------
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class AlignedLevel:
+    """One reduction level of the aligned max/min layout.
+
+    idx: (S,) int32 — gather index per slot.  Level 0 indexes the padded
+      dense-operand table (pad -> n, a sentinel identity row the runtime
+      appends); level l>0 indexes the concatenation of ALL previous
+      levels' candidates (pad -> sentinel appended the same way).
+    src: (S,) int32 — CSR edge index per slot (level 0 only; pad -> nnz,
+      a sentinel 1.0 value the runtime appends when edge values exist).
+    class_slices: ((s0, s1, W), ...) static — slots [s0, s1) reduce in
+      segments of width W (s1 - s0 divisible by W).
+    ncand: total candidates this level emits (sum of (s1-s0)//W).
+    """
+
+    idx: jax.Array
+    src: Optional[jax.Array]
+    class_slices: Tuple[Tuple[int, int, int], ...]
+    ncand: int
+
+    def tree_flatten(self):
+        return (self.idx, self.src), (self.class_slices, self.ncand)
+
+    @classmethod
+    def tree_unflatten(cls, aux, arrays):
+        return cls(arrays[0], arrays[1], *aux)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class AlignedMinmaxPlan:
+    """Row-aligned slot layout for max/min SpMM (VERDICT r4 #4).
+
+    The stream kernel's in-chunk segmented shift-scan costs
+    ceil(log2(longest run)) passes over the whole slot stream — the
+    measured floor of SAGE-pool on pubmed (bench_results/pool_profile.md:
+    the degree-172 hub row forces 8 passes at EVERY feature width).
+    This layout removes BOTH the scan and the one-hot scatter kernel:
+
+      * rows are bucketed into degree classes; each row's edges pad to
+        segments of the class width W, so the per-segment reduction is a
+        reshape-reduce XLA fuses with the gather;
+      * rows wider than the largest class recurse: their level-l
+        candidates become level-(l+1) elements (levels beyond 0 are tiny
+        — mega rows only) until every row holds ONE candidate;
+      * the final "scatter" is therefore an inverse-permutation `take`
+        (rows partition across classes), not a windowed one-hot matmul.
+
+    Pad slots gather a SENTINEL identity row appended to the table, so
+    no validity mask is materialized.  (Caveat: a graph whose real
+    contributions include ±inf would alias the sentinel; values are
+    assumed finite, as everywhere else in the package.)
+
+    inv_map: (m,) int32 — row -> its final candidate position in the
+      all-levels concatenation (rows with no edges -> sentinel).
+    """
+
+    levels: Tuple[AlignedLevel, ...]
+    inv_map: jax.Array
+    shape: Tuple[int, int]
+    nnz: int
+
+    def tree_flatten(self):
+        return (self.levels, self.inv_map), (self.shape, self.nnz)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], children[1], *aux)
+
+    @property
+    def num_slots(self) -> int:
+        return int(self.levels[0].idx.shape[0]) if self.levels else 0
+
+    @property
+    def seg_widths(self) -> Tuple[int, ...]:
+        return tuple(
+            sorted({w for lv in self.levels for _, _, w in lv.class_slices})
+        )
+
+    @property
+    def padding_ratio(self) -> float:
+        total = self.num_slots
+        return (total - self.nnz) / max(total, 1)
+
+
+def build_aligned_minmax_plan(
+    csr,
+    seg_widths: Optional[Tuple[int, ...]] = None,
+    table_bytes_cap: int = 44 << 20,
+    k_hint: int = 128,
+) -> Optional[AlignedMinmaxPlan]:
+    """Host-side construction of the row-aligned max/min layout.
+
+    seg_widths: ascending class widths (a row of count c lands in the
+      smallest class with W >= c; bigger rows split into ceil(c/W_max)
+      segments and recurse).  Default: powers of two from 1 — width-1
+      and width-2 classes matter, low-degree rows dominate real graphs.
+    Returns None when the whole-B gather table would exceed the
+    fast-gather tier at ``k_hint`` (callers then use the scan kernel).
+    """
+    indptr = np.asarray(csr.indptr)
+    indices = np.asarray(csr.indices)
+    m, n = csr.shape
+    nnz = int(indices.shape[0])
+    if n * 4 * max(k_hint, 1) > table_bytes_cap or m == 0 or nnz == 0:
+        return None
+    deg = np.diff(indptr)
+    if seg_widths is None:
+        seg_widths = (1, 2, 4, 8, 16, 32, 64, 128, 256, 512)
+    W_list = sorted(set(int(w) for w in seg_widths))
+    W_arr = np.asarray(W_list)
+    W_max = W_list[-1]
+
+    # Level 0 elements: per-row CSR edge runs (index = column id).
+    counts = deg.astype(np.int64)          # elements per row this level
+    starts = indptr[:-1].astype(np.int64)  # element run start per row
+    elem_idx = indices.astype(np.int64)    # gather index per element
+    elem_src: Optional[np.ndarray] = indices  # placeholder, set below
+    elem_src = np.arange(nnz, dtype=np.int64)
+    space = n          # sentinel index for level-0 pads
+    src_sentinel = nnz
+
+    levels = []
+    cand_base = 0      # offset of this level's candidates in the concat
+    final_pos = np.full(m, -1, np.int64)   # row -> final candidate pos
+    for _level in range(64):  # bounded: counts shrink by >= W_max>=2
+        active = counts > 0
+        cls_of = np.minimum(
+            np.searchsorted(W_arr, np.maximum(counts, 1)), len(W_list) - 1
+        )
+        segs = np.zeros(m, np.int64)
+        segs[active] = -(-counts[active] // W_arr[cls_of[active]])
+        # Lay out classes in width order; rows ascending within a class.
+        class_slices = []
+        idx_parts, src_parts = [], []
+        cand_pos = np.full(m, -1, np.int64)
+        cpos = 0
+        spos = 0
+        for ci, W in enumerate(W_list):
+            rows = np.flatnonzero(active & (cls_of == ci))
+            if rows.size == 0:
+                continue
+            nseg = segs[rows]
+            S = int(nseg.sum()) * W
+            # Vectorized slot fill: element j of row r lands at
+            # (row slot base) + j; tail pads to the segment width.
+            tot = counts[rows]
+            base = np.concatenate([[0], np.cumsum(nseg)])[:-1] * W
+            eoff = np.arange(int(tot.sum()), dtype=np.int64)
+            row_of_e = np.repeat(np.arange(rows.size), tot)
+            eoff -= np.concatenate([[0], np.cumsum(tot)])[:-1][row_of_e]
+            slots = base[row_of_e] + eoff
+            gidx = np.full(S, space, np.int64)
+            # Element e of row r sits at starts[r] + eoff (vectorized).
+            epos = starts[rows][row_of_e] + eoff
+            gidx[slots] = elem_idx[epos]
+            idx_parts.append(gidx)
+            if elem_src is not None:
+                gsrc = np.full(S, src_sentinel, np.int64)
+                gsrc[slots] = elem_src[epos]
+                src_parts.append(gsrc)
+            cand_pos[rows] = cand_base + cpos + base // W
+            class_slices.append((spos, spos + S, W))
+            cpos += int(nseg.sum())
+            spos += S
+        idx_all = (
+            np.concatenate(idx_parts) if idx_parts
+            else np.zeros(0, np.int64)
+        )
+        src_all = (
+            np.concatenate(src_parts) if (src_parts and _level == 0)
+            else None
+        )
+        levels.append(AlignedLevel(
+            idx=jnp.asarray(idx_all.astype(np.int32)),
+            src=(None if src_all is None
+                 else jnp.asarray(src_all.astype(np.int32))),
+            class_slices=tuple(class_slices),
+            ncand=cpos,
+        ))
+        done = active & (segs == 1)
+        final_pos[done] = cand_pos[done]
+        if not (segs > 1).any():
+            break
+        # Next level: the multi-segment rows' candidates are the new
+        # elements; they sit consecutively at cand_pos[r] .. +segs[r].
+        nxt = segs > 1
+        new_counts = np.zeros(m, np.int64)
+        new_counts[nxt] = segs[nxt]
+        counts = new_counts
+        starts = np.where(nxt, cand_pos, 0)
+        # Element index space = all candidates so far (this level ends
+        # at cand_base + cpos); element i of row r = starts[r] + i.
+        cand_base += cpos
+        space = cand_base          # sentinel for the NEXT level's pads
+        elem_idx = np.arange(cand_base, dtype=np.int64)
+        elem_src = None
+
+    total_cands = cand_base + levels[-1].ncand
+    inv_map = np.where(final_pos >= 0, final_pos, total_cands)
+    return AlignedMinmaxPlan(
+        levels=tuple(levels),
+        inv_map=jnp.asarray(inv_map.astype(np.int32)),
+        shape=(m, n),
+        nnz=nnz,
     )

@@ -208,8 +208,11 @@ def _dense_minmax(mat, B, op):
 )
 def test_spmm_tiled_minmax_interpret(op, shape, density, ct, rp, E, pr, binary):
     csr, mat = random_csr(*shape, density=density, seed=21, binary=binary)
+    # minmax_aligned=False: this test pins the SCAN kernel (the aligned
+    # layout has its own suite in tests/test_aligned_minmax.py).
     plan = build_tiled_plan(
-        csr, col_tile=ct, rows_per_block=rp, chunk_nnz=E, part_rows=pr
+        csr, col_tile=ct, rows_per_block=rp, chunk_nnz=E, part_rows=pr,
+        minmax_aligned=False,
     )
     B = np.random.default_rng(21).standard_normal(
         (shape[1], 16)
@@ -231,7 +234,7 @@ def test_spmm_tiled_minmax_powerlaw_long_runs():
     # must still produce the exact row max.
     csr, mat = powerlaw_csr(96, 80, avg_deg=10, seed=22)
     plan = build_tiled_plan(csr, col_tile=32, rows_per_block=16, chunk_nnz=16,
-                            part_rows=40)
+                            part_rows=40, minmax_aligned=False)
     B = np.random.default_rng(22).standard_normal((80, 8)).astype(np.float32)
     out = spmm_tiled(plan, csr.data, jnp.asarray(B), 96, interpret=True,
                      reduce="max")
