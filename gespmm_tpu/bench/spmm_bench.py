@@ -107,6 +107,9 @@ def bench_graph(
                 # forward-only benching: skip the transpose plan
                 # (halves plan memory + tunnel transfer on rmat20)
                 plan_transpose=False,
+                # sum-only sweep: the aligned max/min layout would be
+                # dead weight on the device
+                minmax_aligned=False,
             )
         return tiled_by_k[K]
 

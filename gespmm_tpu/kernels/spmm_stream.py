@@ -630,6 +630,105 @@ def spmm_minmax_aligned(
     return out.astype(B.dtype)
 
 
+def spmm_minmax_vjp_aligned(
+    aplan_t,
+    csc_data: Optional[Array],
+    B: Array,
+    out: Array,
+    g: Array,
+    op: str,
+    ties: Array,
+):
+    """Kernel-free max/min VJP over the transpose's row-aligned layout.
+
+    Replaces phase 2 of :func:`spmm_minmax_vjp_tiled` when the transpose
+    plan carries an aligned layout and the forward emitted tie counts:
+    slots are grouped by A-COLUMN (= B row), so the per-edge B value
+    broadcasts from CANDIDATE granularity (`cand_rows`) instead of
+    costing a per-slot gather, and the per-column reduction is the same
+    reshape-sum + inverse-permutation `take` as the aligned forward —
+    ONE scattered gather total (the (out | g/ties) table by A-row).
+    Measured on pubmed (round 5): the 3-gather + Pallas-reduce phase 2
+    at 0.58-0.65 ms becomes ~0.3-0.45 ms.
+
+    Returns ``(grad_data_csc | None, grad_B)`` — the same contract as
+    :func:`spmm_minmax_vjp_tiled`.
+    """
+    del op  # achievement tests are equality-based; identical for min
+    m, K = out.shape
+    n_B = B.shape[0]
+    nnz = aplan_t.nnz
+    B32 = B.astype(jnp.float32)
+    gt = g.astype(jnp.float32) / jnp.maximum(ties, 1.0)
+    og_ext = jnp.concatenate([
+        jnp.concatenate([out.astype(jnp.float32), gt], axis=1),
+        jnp.zeros((1, 2 * K), jnp.float32),
+    ], axis=0)
+    csc_ext = (
+        None if csc_data is None
+        else jnp.concatenate([
+            csc_data.astype(jnp.float32), jnp.ones((1,), jnp.float32)
+        ])
+    )
+    l0 = aplan_t.levels[0]
+    b_cand = jnp.take(B32, aplan_t.cand_rows[: l0.ncand], axis=0)
+
+    cand_parts = []
+    gd_slots = [] if csc_ext is not None else None
+    c0 = 0
+    for s0, s1, W in l0.class_slices:
+        ncs = (s1 - s0) // W
+        # One gather PER CLASS (not one big one sliced 9 ways): XLA then
+        # fuses each gather into its class's reshape-sum consumer instead
+        # of materializing an (S, 2K) intermediate — measured 1.55 vs
+        # 1.37 ms fwd+bwd at K=128 with the monolithic gather.
+        og_c = jnp.take(og_ext, l0.idx[s0:s1], axis=0)
+        val = (
+            None if csc_ext is None
+            else jnp.take(csc_ext, l0.src[s0:s1], axis=0)
+        )
+        ogr = og_c.reshape(ncs, W, 2 * K)
+        out_s = ogr[..., :K]
+        gt_s = ogr[..., K:]
+        bc = b_cand[c0 : c0 + ncs][:, None, :]
+        if val is not None:
+            v = val.reshape(ncs, W, 1)
+            contrib = bc * v
+        else:
+            contrib = jnp.broadcast_to(bc, (ncs, W, K))
+        # Pad slots carry gt == 0 (zero sentinel row), so they add 0
+        # regardless of how the achievement compare falls.
+        w = jnp.where(contrib == out_s, gt_s, 0.0)
+        cand_parts.append(jnp.sum(w * v if val is not None else w, axis=1))
+        if gd_slots is not None:
+            gd_slots.append(
+                jnp.sum(jnp.where(contrib == out_s, gt_s * bc, 0.0),
+                        axis=2).reshape(-1)
+            )
+        c0 += ncs
+    for lv in aplan_t.levels[1:]:
+        prev = jnp.concatenate(
+            cand_parts + [jnp.zeros((1, K), jnp.float32)], axis=0
+        )
+        gl = jnp.take(prev, lv.idx, axis=0)
+        for s0, s1, W in lv.class_slices:
+            cand_parts.append(
+                jnp.sum(gl[s0:s1].reshape(-1, W, K), axis=1)
+            )
+    all_cand = jnp.concatenate(
+        cand_parts + [jnp.zeros((1, K), jnp.float32)], axis=0
+    )
+    grad_B = jnp.take(all_cand, aplan_t.inv_map, axis=0)[:n_B]
+    gd = None
+    if gd_slots is not None:
+        # Barrier: XLA:TPU intermittently miscompiles scatters whose
+        # update operand is a fused product of gathers (see
+        # ops/reference.spmm_max_vjp_edges).
+        flat = jax.lax.optimization_barrier(jnp.concatenate(gd_slots))
+        gd = jnp.zeros((nnz + 1,), jnp.float32).at[l0.src].set(flat)[:nnz]
+    return gd, grad_B
+
+
 def stream_plan_stats(plan: TiledSpmmPlan, K: int, item: int = 4):
     """(slots_total, n_slabs) the stream kernel would run at width K —
     inputs to the implementation-bound roofline
@@ -861,12 +960,18 @@ def sddmm_tiled(
     D2 per column tile), sidestepping the ~10ns/row HBM descriptor wall of
     the naive two-gather formulation (`ops/reference.sddmm_xla`); the
     per-edge K-reduction streams on the VPU.  Returns CSR-ordered edge
-    values (the slot->edge permutation is scattered back at scalar width).
+    values.  Round 5: the slot->edge return trip rides the plan's
+    host-precomputed inverse map (`TiledPartPlan.edge_slot`) as a `take`
+    + concat — each part owns a contiguous CSR edge range — instead of
+    the ~6 ns/edge scalar back-scatter; plans without the map (built
+    before round 5 or hand-constructed) keep the scatter.
     """
     nnz = plan.nnz
     K = D1.shape[1]
     acc = jnp.promote_types(D1.dtype, jnp.float32)
-    out = jnp.zeros((nnz + 1,), acc)
+    have_inverse = all(p.edge_slot is not None for p in plan.parts)
+    out = None if have_inverse else jnp.zeros((nnz + 1,), acc)
+    out_parts = []
     for part in plan.parts:
         R, E = part.rows_per_block, part.chunk_nnz
         D1p = D1[part.row0 : part.row0 + part.m_part]
@@ -886,7 +991,16 @@ def sddmm_tiled(
             pieces[0] if len(pieces) == 1 else jnp.concatenate(pieces, 0)
         ).astype(acc)
         prod = jnp.sum(d1 * g2, axis=-1)
-        valid = (part.local_rows < R).reshape(-1)
-        dst = jnp.where(valid, part.src, nnz)
-        out = out.at[dst].set(prod)
+        if have_inverse:
+            out_parts.append(jnp.take(prod, part.edge_slot, axis=0))
+        else:
+            valid = (part.local_rows < R).reshape(-1)
+            dst = jnp.where(valid, part.src, nnz)
+            out = out.at[dst].set(prod)
+    if have_inverse:
+        out = (
+            out_parts[0] if len(out_parts) == 1
+            else jnp.concatenate(out_parts, 0)
+        )
+        return out.astype(D1.dtype)
     return out[:nnz].astype(D1.dtype)

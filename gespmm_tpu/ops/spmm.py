@@ -391,13 +391,24 @@ def _spmm_core_bwd(cfg, res, g):
         ):
             # Stream-kernel backward: the forward ran the tiled kernel
             # (same dispatch), so achievement tests are bitwise-exact.
-            from gespmm_tpu.kernels.spmm_stream import spmm_minmax_vjp_tiled
+            from gespmm_tpu.kernels.spmm_stream import (
+                spmm_minmax_vjp_aligned,
+                spmm_minmax_vjp_tiled,
+            )
 
             csc_data = None if data is None else data[perm]
-            gd_csc, grad_B = spmm_minmax_vjp_tiled(
-                plan, plan_t, data, csc_data, B, out, g, cfg.reduce,
-                ties=ties,
-            )
+            mm_t = getattr(plan_t, "minmax", None)
+            if mm_t is not None and ties is not None:
+                # Scan-free backward over the transpose's aligned layout
+                # (one scattered gather; round 5).
+                gd_csc, grad_B = spmm_minmax_vjp_aligned(
+                    mm_t, csc_data, B, out, g, cfg.reduce, ties,
+                )
+            else:
+                gd_csc, grad_B = spmm_minmax_vjp_tiled(
+                    plan, plan_t, data, csc_data, B, out, g, cfg.reduce,
+                    ties=ties,
+                )
             grad_data = None
             if gd_csc is not None:
                 grad_data = (

@@ -353,16 +353,31 @@ class TiledPartPlan:
     # Longest (tile, row) slot run — bounds the max/min segmented scan's
     # step count (0 = unknown: scan the whole window).
     max_run: int = 0
+    # Inverse of `src` (round 5): edge_slot[e - edge0] = the slot feeding
+    # CSR edge e.  The part owns the CONTIGUOUS CSR edge range
+    # [edge0, edge0 + nnz_part) (parts split by row ranges), so slot-
+    # ordered per-edge results return to CSR order with one `take` +
+    # concat — replacing SDDMM's ~6 ns/edge scalar back-scatter.
+    edge_slot: Optional[jax.Array] = None
+    edge0: int = 0
 
     def tree_flatten(self):
-        arrays = (self.src, self.lcols, self.local_rows, self.row_start)
+        arrays = (self.src, self.lcols, self.local_rows, self.row_start,
+                  self.edge_slot)
         aux = (self.tile_slices, self.row0, self.m_part, self.m_pad,
-               self.rows_per_block, self.chunk_nnz, self.max_run)
+               self.rows_per_block, self.chunk_nnz, self.max_run,
+               self.edge0)
         return arrays, aux
 
     @classmethod
     def tree_unflatten(cls, aux, arrays):
-        return cls(*arrays, *aux)
+        return cls(
+            src=arrays[0], lcols=arrays[1], local_rows=arrays[2],
+            row_start=arrays[3], edge_slot=arrays[4],
+            tile_slices=aux[0], row0=aux[1], m_part=aux[2], m_pad=aux[3],
+            rows_per_block=aux[4], chunk_nnz=aux[5], max_run=aux[6],
+            edge0=aux[7],
+        )
 
     @property
     def num_slots(self) -> int:
@@ -470,6 +485,8 @@ def _group_pad_part(part: TiledPartPlan, group: int = 0) -> TiledPartPlan:
         rows_per_block=R,
         chunk_nnz=E,
         max_run=part.max_run,
+        edge_slot=part.edge_slot,  # pads append at the END: slots keep
+        edge0=part.edge0,          # their indices, the inverse map holds
     )
 
 
@@ -625,6 +642,11 @@ def build_tiled_plan(
                      c0 * E, c1 * E)
                 )
                 c0 = c1
+            es = np.zeros(e - s, np.int32)
+            valid_n = (lr_n.reshape(-1) < Rp) if len(rows_p) else (
+                np.zeros(src_n.size, bool)
+            )
+            es[src_n.reshape(-1)[valid_n] - s] = np.flatnonzero(valid_n)
             parts.append(
                 _group_pad_part(TiledPartPlan(
                     src=jnp.asarray(src_n.reshape(-1)),
@@ -638,6 +660,8 @@ def build_tiled_plan(
                     rows_per_block=Rp,
                     chunk_nnz=E,
                     max_run=max_run,
+                    edge_slot=jnp.asarray(es),
+                    edge0=s,
                 ))
             )
             if m == 0:
@@ -686,9 +710,14 @@ def build_tiled_plan(
             rstart_chunks.append(0)
             tile_slices.append((0, min(col_tile, n), 0, E))
 
+        src_flat2 = np.concatenate(src_slots)
+        lr_flat2 = np.stack(lrow_chunks).reshape(-1)
+        es2 = np.zeros(e - s, np.int32)
+        valid2 = lr_flat2 < Rp
+        es2[src_flat2[valid2] - s] = np.flatnonzero(valid2)
         parts.append(
             _group_pad_part(TiledPartPlan(
-                src=jnp.asarray(np.concatenate(src_slots)),
+                src=jnp.asarray(src_flat2),
                 lcols=jnp.asarray(np.concatenate(lcol_slots)),
                 local_rows=jnp.asarray(np.stack(lrow_chunks)),
                 row_start=jnp.asarray(
@@ -701,6 +730,8 @@ def build_tiled_plan(
                 rows_per_block=Rp,
                 chunk_nnz=E,
                 max_run=max_run,
+                edge_slot=jnp.asarray(es2),
+                edge0=s,
             ))
         )
         if m == 0:
@@ -777,19 +808,26 @@ class AlignedMinmaxPlan:
 
     inv_map: (m,) int32 — row -> its final candidate position in the
       all-levels concatenation (rows with no edges -> sentinel).
+    cand_rows: (total_cands,) int32 — candidate -> its row, in the same
+      concatenation order (the inverse of inv_map extended to the
+      multi-candidate levels; consumers broadcast per-row constants to
+      candidate granularity with it, e.g. the aligned minmax VJP's
+      B-row values).
     """
 
     levels: Tuple[AlignedLevel, ...]
     inv_map: jax.Array
+    cand_rows: jax.Array
     shape: Tuple[int, int]
     nnz: int
 
     def tree_flatten(self):
-        return (self.levels, self.inv_map), (self.shape, self.nnz)
+        return (self.levels, self.inv_map, self.cand_rows), (
+            self.shape, self.nnz)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(children[0], children[1], *aux)
+        return cls(children[0], children[1], children[2], *aux)
 
     @property
     def num_slots(self) -> int:
@@ -846,6 +884,7 @@ def build_aligned_minmax_plan(
 
     levels = []
     cand_base = 0      # offset of this level's candidates in the concat
+    cand_rows_parts = []
     final_pos = np.full(m, -1, np.int64)   # row -> final candidate pos
     for _level in range(64):  # bounded: counts shrink by >= W_max>=2
         active = counts > 0
@@ -884,6 +923,7 @@ def build_aligned_minmax_plan(
                 gsrc[slots] = elem_src[epos]
                 src_parts.append(gsrc)
             cand_pos[rows] = cand_base + cpos + base // W
+            cand_rows_parts.append(np.repeat(rows, nseg))
             class_slices.append((spos, spos + S, W))
             cpos += int(nseg.sum())
             spos += S
@@ -922,9 +962,14 @@ def build_aligned_minmax_plan(
 
     total_cands = cand_base + levels[-1].ncand
     inv_map = np.where(final_pos >= 0, final_pos, total_cands)
+    cand_rows = (
+        np.concatenate(cand_rows_parts) if cand_rows_parts
+        else np.zeros(0, np.int64)
+    )
     return AlignedMinmaxPlan(
         levels=tuple(levels),
         inv_map=jnp.asarray(inv_map.astype(np.int32)),
+        cand_rows=jnp.asarray(cand_rows.astype(np.int32)),
         shape=(m, n),
         nnz=nnz,
     )

@@ -204,6 +204,9 @@ scsr = csr_from_scipy(sub)
 _GATE_MINMAX = r"""
 # want_ties forward + the tiled minmax VJP vs the compiled XLA tier, with
 # quantized B forcing real ties (the even-split rule is what differs).
+# Since round 5 plan=True carries the row-aligned layout, so this group
+# exercises the ALIGNED forward + aligned VJP; the scan kernel has its
+# own group below.
 """ + _TIE_FIXTURE + r"""
 sadj = Adjacency.from_csr(scsr, plan=True)
 sadj_plain = Adjacency.from_csr(scsr)
@@ -228,6 +231,42 @@ for op in ("max", "min"):
     geerr = np.abs(np.asarray(ge_t) - np.asarray(ge_x)).max()
     assert geerr < 1e-3, (op, "grad_val", geerr)
     print(f"OK minmax-vjp {op} gB={gerr:.1e} gv={geerr:.1e}", flush=True)
+print("GATE PASSED", flush=True)
+"""
+
+_GATE_MINMAX_SCAN = r"""
+# The SCAN kernel path (multi-tile-scale graphs have no aligned layout):
+# forward + VJP with plans built minmax_aligned=False.
+""" + _TIE_FIXTURE + r"""
+from gespmm_tpu.sparse.partition import build_tiled_plan
+import dataclasses as _dc
+sadj = Adjacency.from_csr(scsr, plan=True)
+sadj = _dc.replace(
+    sadj,
+    plan=build_tiled_plan(scsr, minmax_aligned=False),
+    plan_t=build_tiled_plan(
+        __import__("types").SimpleNamespace(
+            indptr=sadj.csc.indptr, indices=sadj.csc.indices,
+            data=None, shape=(mm, mm), nnz=scsr.nnz,
+        ),
+        minmax_aligned=False,
+    ),
+)
+sadj_plain = Adjacency.from_csr(scsr)
+Bq = jnp.asarray(
+    np.round(rng.standard_normal((mm, 64)) * 2).astype(np.float32) / 2
+)
+for op in ("max", "min"):
+    def loss(b, a, meth, _op=op):
+        return jnp.sum(jnp.sin(spmm(a, b, reduce=_op, method=meth)))
+    v_t, g_t = jax.jit(jax.value_and_grad(
+        lambda b: loss(b, sadj, "tiled")))(Bq)
+    v_x, g_x = jax.jit(jax.value_and_grad(
+        lambda b: loss(b, sadj_plain, "xla")))(Bq)
+    assert abs(float(v_t) - float(v_x)) < 1e-2, (op, float(v_t), float(v_x))
+    gerr = np.abs(np.asarray(g_t) - np.asarray(g_x)).max()
+    assert gerr < 1e-3, (op, "grad_B", gerr)
+    print(f"OK minmax-scan {op} gB={gerr:.1e}", flush=True)
 print("GATE PASSED", flush=True)
 """
 
@@ -298,6 +337,7 @@ GATE_GROUPS = {
     "sddmm": _GATE_SDDMM,
     "modes": _GATE_MODES,
     "minmax_vjp": _GATE_MINMAX,
+    "minmax_scan": _GATE_MINMAX_SCAN,
     "gat_fused": _GATE_GAT,
 }
 
