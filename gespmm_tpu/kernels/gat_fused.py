@@ -129,8 +129,7 @@ def _forward(plan, src2, dst2, B, slope, interpret, max_mode="exact",
             l = _leaky(_slot_pre(part, src_pad, dst_pad), slope)
             mp = _reduce_part(
                 l, part.local_rows, part.row_start, part.m_pad,
-                part.rows_per_block, H, "trilo", interpret, op="max",
-            )
+                part.rows_per_block, H, "trilo", interpret, op="max", fold=getattr(part, "fold", 1))
             mx_parts.append(mp[: part.m_part])
         mx = (mx_parts[0] if len(mx_parts) == 1
               else jnp.concatenate(mx_parts, 0))[:m]
@@ -170,8 +169,7 @@ def _forward(plan, src2, dst2, B, slope, interpret, max_mode="exact",
             stream = stream.astype(jnp.bfloat16)
         res = _reduce_part(
             stream, part.local_rows, part.row_start, part.m_pad,
-            part.rows_per_block, kt, mode, interpret, op="sum",
-        )
+            part.rows_per_block, kt, mode, interpret, op="sum", fold=getattr(part, "fold", 1))
         out_parts.append(res[: part.m_part, :KB])
         den_parts.append(res[: part.m_part, KB:KK])
     out_w = (out_parts[0] if len(out_parts) == 1
@@ -254,8 +252,7 @@ def _gat_bwd(slope, interpret, max_mode, heads, mode, res, g):
         dpre = alpha * (u - s_slot) * _dleaky(pre, slope)
         gp = _reduce_part(
             dpre, part.local_rows, part.row_start, part.m_pad,
-            part.rows_per_block, H, "trilo", interpret, op="sum",
-        )
+            part.rows_per_block, H, "trilo", interpret, op="sum", fold=getattr(part, "fold", 1))
         gsrc_parts.append(gp[: part.m_part])
     grad_src = (gsrc_parts[0] if len(gsrc_parts) == 1
                 else jnp.concatenate(gsrc_parts, 0))[:m]
@@ -291,8 +288,7 @@ def _gat_bwd(slope, interpret, max_mode, heads, mode, res, g):
             stream = jnp.pad(stream, ((0, 0), (0, K_pad - KK)))
         res_p = _reduce_part(
             stream, part.local_rows, part.row_start, part.m_pad,
-            part.rows_per_block, kt, "trilo", interpret, op="sum",
-        )
+            part.rows_per_block, kt, "trilo", interpret, op="sum", fold=getattr(part, "fold", 1))
         gB_parts.append(res_p[: part.m_part, :KB])
         gdst_parts.append(res_p[: part.m_part, KB:KK])
     grad_B = (gB_parts[0] if len(gB_parts) == 1
@@ -333,8 +329,7 @@ def _dot_forward(plan, D1, D2, B, slope, interpret):
         l = act(_slot_pre_dot(part, D1p, D2p))
         mp = _reduce_part(
             l, part.local_rows, part.row_start, part.m_pad,
-            part.rows_per_block, 1, "trilo", interpret, op="max",
-        )
+            part.rows_per_block, 1, "trilo", interpret, op="max", fold=getattr(part, "fold", 1))
         mx_parts.append(mp[: part.m_part])
     mx = (mx_parts[0] if len(mx_parts) == 1
           else jnp.concatenate(mx_parts, 0))[:m]
@@ -361,8 +356,7 @@ def _dot_forward(plan, D1, D2, B, slope, interpret):
         stream = jnp.concatenate([gb * z, z], axis=1)
         res = _reduce_part(
             stream, part.local_rows, part.row_start, part.m_pad,
-            part.rows_per_block, kt, "trilo", interpret, op="sum",
-        )
+            part.rows_per_block, kt, "trilo", interpret, op="sum", fold=getattr(part, "fold", 1))
         out_parts.append(res[: part.m_part, :K])
         den_parts.append(res[: part.m_part, K_pad - 1 : K_pad])
     out_w = (out_parts[0] if len(out_parts) == 1
@@ -428,8 +422,7 @@ def _dot_bwd(slope, interpret, res, g):
         dpre = alpha * (u - s_slot) * dact(pre)
         gp = _reduce_part(
             dpre * d2s, part.local_rows, part.row_start, part.m_pad,
-            part.rows_per_block, min(Ka, 512), "trilo", interpret, op="sum",
-        )
+            part.rows_per_block, min(Ka, 512), "trilo", interpret, op="sum", fold=getattr(part, "fold", 1))
         gD1_parts.append(gp[: part.m_part])
     grad_D1 = (gD1_parts[0] if len(gD1_parts) == 1
                else jnp.concatenate(gD1_parts, 0))[:m]
@@ -459,8 +452,7 @@ def _dot_bwd(slope, interpret, res, g):
             stream = jnp.pad(stream, ((0, 0), (0, K_pad - KK)))
         res_p = _reduce_part(
             stream, part.local_rows, part.row_start, part.m_pad,
-            part.rows_per_block, kt, "trilo", interpret, op="sum",
-        )
+            part.rows_per_block, kt, "trilo", interpret, op="sum", fold=getattr(part, "fold", 1))
         gB_parts.append(res_p[: part.m_part, :K])
         gD2_parts.append(res_p[: part.m_part, K : KK])
     grad_B = (gB_parts[0] if len(gB_parts) == 1

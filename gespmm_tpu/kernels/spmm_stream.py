@@ -74,7 +74,14 @@ def _reduce_kernel(
     group: int,
     op: str = "sum",
     max_run: int = 0,
+    fold: int = 1,
+    k_tile: int = 0,
 ):
+    # fold > 1: the stream block is ((group*E)//fold, fold*k_tile) — F
+    # consecutive chunks' slots interleaved so each DMA row is F*K wide
+    # (the stream transfer is descriptor-bound at narrow K; see
+    # sparse/partition._fold_factor).  Chunk i = (gg, f) reads rows
+    # [gg*E, (gg+1)*E) columns [f*k_tile, (f+1)*k_tile).
     cg = pl.program_id(0)
     R = rows_per_block
     init_val = {"sum": 0.0, "max": -jnp.inf, "min": jnp.inf}[op]
@@ -128,13 +135,21 @@ def _reduce_kernel(
         # ≙ the reference's dedicated max kernel family
         # (`dgl-custom/binary_reduce_max.cu:18-207`), re-expressed for
         # VPU + MXU instead of warp-serial compare-exchange.
-        fold = jnp.maximum if op == "max" else jnp.minimum
+        fold_fn = jnp.maximum if op == "max" else jnp.minimum
         ident = init_val
         for i in range(group):
             lr = local_rows_ref[i, 0, :]  # (E,)
             E = lr.shape[0]
             rows_iota = jax.lax.broadcasted_iota(jnp.int32, (R, E), 0)
-            g32 = contrib_ref[i * E : (i + 1) * E, :].astype(jnp.float32)
+            if fold > 1:
+                gg, f = divmod(i, fold)
+                g32 = contrib_ref[
+                    gg * E : (gg + 1) * E,
+                    f * k_tile : (f + 1) * k_tile,
+                ].astype(jnp.float32)
+            else:
+                g32 = contrib_ref[i * E : (i + 1) * E, :].astype(
+                    jnp.float32)
             ktile = g32.shape[1]
             # Masks are built from int32 column/row vectors: Mosaic only
             # supports minor-dim insertion (the [:, None] reshape) for
@@ -174,7 +189,7 @@ def _reduce_kernel(
                         same & (prev == vals), cnt + prev_cnt,
                         jnp.where(same & prev_wins, prev_cnt, cnt),
                     )
-                vals = jnp.where(same, fold(vals, prev), vals)
+                vals = jnp.where(same, fold_fn(vals, prev), vals)
                 s *= 2
             nxt_lr_c = jnp.concatenate(
                 [lr_c[1:], jnp.full((1, 1), -1, lr.dtype)], axis=0
@@ -193,7 +208,7 @@ def _reduce_kernel(
             cur = out_ref[pl.ds(rs, R), :]
             hasb = has[:, None] > 0
             out_ref[pl.ds(rs, R), :] = jnp.where(
-                hasb, fold(cur, folded), cur
+                hasb, fold_fn(cur, folded), cur
             )
             if cnt is not None:
                 # hi/lo bf16 split is exact for integer counts < 2^16
@@ -220,7 +235,13 @@ def _reduce_kernel(
         rows_iota = jax.lax.broadcasted_iota(jnp.int32, (R, E), 0)
 
         onehot = rows_iota == lr[None, :]
-        g32 = contrib_ref[i * E : (i + 1) * E, :].astype(jnp.float32)
+        if fold > 1:
+            gg, f = divmod(i, fold)
+            g32 = contrib_ref[
+                gg * E : (gg + 1) * E, f * k_tile : (f + 1) * k_tile
+            ].astype(jnp.float32)
+        else:
+            g32 = contrib_ref[i * E : (i + 1) * E, :].astype(jnp.float32)
         if mode == "trilo":
             # See trilo_dot: matches f32 accumulation to roundoff at 3
             # bf16 MXU passes instead of HIGHEST's ~6.
@@ -249,7 +270,7 @@ def _reduce_kernel(
 @functools.partial(
     jax.jit, static_argnames=("m_pad", "rows_per_block", "k_tile",
                               "mode", "interpret", "op", "want_ties",
-                              "max_run", "force_group")
+                              "max_run", "force_group", "fold")
 )
 def _reduce_part(
     contrib: Array,  # (S, K_pad)
@@ -264,6 +285,7 @@ def _reduce_part(
     want_ties: bool = False,
     max_run: int = 0,
     force_group: Optional[int] = None,
+    fold: int = 1,
 ):
     C, E = local_rows.shape
     K_pad = contrib.shape[1]
@@ -274,7 +296,16 @@ def _reduce_part(
     # cost and a 16-way unrolled body only multiplies trace/compile time,
     # so group stays 1 there.
     if force_group is not None:
+        if fold > 1 and force_group % fold:
+            raise ValueError(
+                f"force_group={force_group} must be a multiple of the "
+                f"plan's fold ({fold})"
+            )
         G = force_group  # test hook: exercise the batched minmax scan
+    elif fold > 1:
+        # Folded plans pad C to max(CHUNK_GROUP, fold); the group must
+        # cover whole fold-groups (even in interpret mode).
+        G = 16 if C % 16 == 0 else fold
     elif interpret:
         G = 1
     else:
@@ -282,7 +313,7 @@ def _reduce_part(
 
     kernel = functools.partial(
         _reduce_kernel, rows_per_block=rows_per_block, mode=mode, group=G,
-        op=op, max_run=max_run,
+        op=op, max_run=max_run, fold=fold, k_tile=k_tile,
     )
     passes = {"highest": 6, "trilo": 3, "hilo": 2}.get(mode, 1)
     lr3 = local_rows.reshape(C, 1, E)
@@ -297,18 +328,40 @@ def _reduce_part(
         (m_pad, k_tile), lambda cg, rs: (0, 0), memory_space=pltpu.VMEM
     )
     acc_shape = jax.ShapeDtypeStruct((m_pad, k_tile), jnp.float32)
+    if fold > 1:
+        S = contrib.shape[0]
+        c3 = contrib.reshape(S // fold, fold, K_pad)
     outs = []
     ties = []
     for kti in range(n_k):
+        if fold > 1:
+            # Folded stream: one full-width block per grid step.  With
+            # multiple K tiles each tile's folded view is a strided
+            # column selection (one relayout pass — rare: folded plans
+            # slab K at the caller to stay single-pass).
+            if n_k == 1:
+                contrib_k = contrib.reshape(S // fold, fold * k_tile)
+            else:
+                contrib_k = c3[
+                    :, :, kti * k_tile : (kti + 1) * k_tile
+                ].reshape(S // fold, fold * k_tile)
+            stream_spec = pl.BlockSpec(
+                ((G * E) // fold, fold * k_tile),
+                lambda cg, rs: (cg, 0), memory_space=pltpu.VMEM,
+            )
+        else:
+            contrib_k = contrib
+            stream_spec = pl.BlockSpec(
+                (G * E, k_tile), lambda cg, rs, _k=kti: (cg, _k),
+                memory_space=pltpu.VMEM,
+            )
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,  # row_start
             grid=(C // G,),
             in_specs=[
                 pl.BlockSpec((G, 1, E), lambda cg, rs: (cg, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((G * E, k_tile),
-                             lambda cg, rs, _k=kti: (cg, _k),
-                             memory_space=pltpu.VMEM),
+                stream_spec,
             ],
             out_specs=(
                 [acc_spec(), acc_spec()] if want_ties else acc_spec()
@@ -333,7 +386,7 @@ def _reduce_part(
                 transcendentals=0,
             ),
             interpret=interpret,
-        )(row_start, lr3, contrib)
+        )(row_start, lr3, contrib_k)
         if want_ties:
             outs.append(res[0])
             ties.append(res[1])
@@ -467,6 +520,23 @@ def spmm_tiled(
     budget_rows = acc_budget // max(m_pad_max * 4, 1)
     kt_max = min(k_tile, max(128, (budget_rows // 128) * 128))
     kt_max = max(128, (kt_max // 128) * 128)
+    max_fold = max(getattr(p, "fold", 1) for p in plan.parts)
+    if max_fold > 1 and K > kt_max:
+        # Folded plans stay single-K-pass: slab B's columns so each pass
+        # fits the accumulator budget (the fold's strided multi-tile
+        # fallback in _reduce_part costs an extra relayout; slabbing
+        # re-gathers instead, which the K>=512 regime absorbs).
+        outs = []
+        for k0 in range(0, K, kt_max):
+            outs.append(spmm_tiled(
+                plan, data, B[:, k0 : k0 + kt_max], m, k_tile=k_tile,
+                mode=mode, interpret=interpret, reduce=reduce,
+                want_ties=want_ties,
+            ))
+        if want_ties:
+            return (jnp.concatenate([o[0] for o in outs], axis=1),
+                    jnp.concatenate([o[1] for o in outs], axis=1))
+        return jnp.concatenate(outs, axis=1)
     if K <= kt_max:
         # Single pass at the exact width — Pallas allows a block dim equal
         # to the full array dim, so narrow K (e.g. 32) needs NO padding.
@@ -500,6 +570,7 @@ def spmm_tiled(
             op=reduce,
             want_ties=want_ties,
             max_run=part.max_run if reduce in ("max", "min") else 0,
+            fold=getattr(part, "fold", 1),
         )
         if want_ties:
             out_p, ties_p = out_p
@@ -776,6 +847,7 @@ def edge_segment_reduce(
             contrib, part.local_rows, part.row_start, part.m_pad,
             part.rows_per_block, kt, "trilo", interpret, op=op,
             max_run=part.max_run if op in ("max", "min") else 0,
+            fold=getattr(part, "fold", 1),
         )
         outs.append(out_p[: part.m_part])
     out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, 0)
@@ -817,14 +889,23 @@ def _part_rows_slice(part: TiledPartPlan, X: Array) -> Array:
     return Xp
 
 
+def _phys_order(part: TiledPartPlan, arr2d: Array) -> Array:
+    """(C, E) chunk-major -> flat PHYSICAL slot order (fold-aware)."""
+    F = part.fold
+    if F <= 1:
+        return arr2d.reshape(-1)
+    C, E = arr2d.shape
+    return arr2d.reshape(C // F, F, E).swapaxes(1, 2).reshape(-1)
+
+
 def _slot_rows(part: TiledPartPlan) -> Array:
     """Per-slot part-local output row (sentinel slots clamped in range)."""
-    rows = (part.row_start[:, None] + part.local_rows).reshape(-1)
+    rows = _phys_order(part, part.row_start[:, None] + part.local_rows)
     return jnp.minimum(rows, part.m_pad - 1)
 
 
 def _slot_valid(part: TiledPartPlan) -> Array:
-    return (part.local_rows < part.rows_per_block).reshape(-1)
+    return _phys_order(part, part.local_rows < part.rows_per_block)
 
 
 def _tile_gather(part: TiledPartPlan, X: Array) -> Array:
@@ -893,6 +974,7 @@ def spmm_minmax_vjp_tiled(
             tp = _reduce_part(
                 ind, part.local_rows, part.row_start, part.m_pad,
                 part.rows_per_block, kt, "fast", interpret, op="sum",
+                fold=getattr(part, "fold", 1),
             )
             ties_parts.append(tp[: part.m_part])
         ties = (
@@ -932,6 +1014,7 @@ def spmm_minmax_vjp_tiled(
         gb = _reduce_part(
             stream, part.local_rows, part.row_start, part.m_pad,
             part.rows_per_block, kt_t, "hilo", interpret, op="sum",
+            fold=getattr(part, "fold", 1),
         )
         grad_parts.append(gb[: part.m_part])
         if gd is not None:
@@ -977,10 +1060,7 @@ def sddmm_tiled(
         D1p = D1[part.row0 : part.row0 + part.m_part]
         if D1p.shape[0] < part.m_pad:
             D1p = jnp.pad(D1p, ((0, part.m_pad - D1p.shape[0]), (0, 0)))
-        rows_slot = (
-            part.row_start[:, None] + part.local_rows
-        ).reshape(-1)
-        rows_slot = jnp.minimum(rows_slot, part.m_pad - 1)
+        rows_slot = _slot_rows(part)
         d1 = jnp.take(D1p, rows_slot, axis=0).astype(acc)
         pieces = []
         for col0, ncols, s0, s1 in part.tile_slices:

@@ -170,6 +170,10 @@ def _uniform_tiled_plans(
         plan = build_tiled_plan(
             slab, col_tile=col_tile, rows_per_block=rows_per_block,
             chunk_nnz=E, part_rows=1 << 62,
+            # The uniform-plan machinery below re-slices and re-pads the
+            # part's chunk runs across shards assuming the UNFOLDED slot
+            # layout; folding the distributed tier is future work.
+            fold=1, minmax_aligned=False,
         )
         if len(plan.parts) != 1:
             raise ValueError(

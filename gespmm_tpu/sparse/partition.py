@@ -360,13 +360,17 @@ class TiledPartPlan:
     # concat — replacing SDDMM's ~6 ns/edge scalar back-scatter.
     edge_slot: Optional[jax.Array] = None
     edge0: int = 0
+    # DMA-row fold (round 5): F consecutive chunks' slots interleave so
+    # the materialized stream's rows are F*K wide — see _fold_factor.
+    # Physical slot (g*E + j)*F + f <-> logical chunk (g*F + f) slot j.
+    fold: int = 1
 
     def tree_flatten(self):
         arrays = (self.src, self.lcols, self.local_rows, self.row_start,
                   self.edge_slot)
         aux = (self.tile_slices, self.row0, self.m_part, self.m_pad,
                self.rows_per_block, self.chunk_nnz, self.max_run,
-               self.edge0)
+               self.edge0, self.fold)
         return arrays, aux
 
     @classmethod
@@ -376,7 +380,7 @@ class TiledPartPlan:
             row_start=arrays[3], edge_slot=arrays[4],
             tile_slices=aux[0], row0=aux[1], m_part=aux[2], m_pad=aux[3],
             rows_per_block=aux[4], chunk_nnz=aux[5], max_run=aux[6],
-            edge0=aux[7],
+            edge0=aux[7], fold=aux[8],
         )
 
     @property
@@ -494,6 +498,148 @@ def _align_down(x: int, a: int) -> int:
     return (x // a) * a
 
 
+def _fold_factor(k_hint: int) -> int:
+    """DMA-row fold for the stream layout — MEASURED OFF (round 5).
+
+    Hypothesis: the reduce kernel's HBM->VMEM stream read is descriptor-
+    bound at narrow K (a copy-only kernel reads an (S, 64) f32 stream at
+    2.4 ns/slot — ~107 GB/s — independent of chunk geometry, K in
+    {64,128}, and accumulator size), so storing F consecutive chunks'
+    slots interleaved (DMA rows F*K wide) should amortize it — and DOES
+    in isolation: 2.39 -> 1.05 ns/slot with a pre-materialized folded
+    stream.  But the win does not survive composition with the gather
+    phase: reshaping the gather's (S, K) output to (S/F, F*K) costs a
+    relayout (rmat16 K=128: 96.7 -> 59.1 GF/s end to end), and
+    producing the folded shape directly via F takes concatenated on the
+    lane axis is slower still (gather+materialize+kernel-read probe:
+    2.50 -> 3.3-4.1 ns/slot).  Folding therefore defaults OFF and
+    remains an explicit opt-in (`build_tiled_plan(fold=...)`, covered by
+    tests/test_fold.py) for future runtimes where the layout economics
+    may differ.
+    """
+    del k_hint
+    return 1
+
+
+def _finalize_part(
+    lr, rs, src_flat, lc_flat, chunk_tile,
+    *, row0, m_part, m_pad, Rp, E, max_run, edge0, nedges, n, col_tile,
+    fold,
+):
+    """Shared tail of the part builders: per-tile fold alignment,
+    CHUNK_GROUP padding, the fold permutation of the slot arrays, tile
+    slices, and the CSR-order inverse map.
+
+    Inputs are LOGICAL chunk-major: lr (C, E), rs (C,), src/lc (C*E,),
+    chunk_tile (C,) — the tile id of each chunk (chunks of one tile are
+    contiguous).  The fold stores F consecutive chunks' slots
+    interleaved: physical slot ((g*E + j)*F + f) holds logical chunk
+    (gF+f) slot j, so the kernel's stream rows are F*K wide.  F-groups
+    never span tiles (per-tile chunk counts pad to F), keeping each
+    tile's physical slot range contiguous for the gather phase.
+    """
+    C = lr.shape[0]
+    src2 = src_flat.reshape(C, E)
+    lc2 = lc_flat.reshape(C, E)
+
+    def pad_rows(arr2, fill, count):
+        return np.concatenate(
+            [arr2, np.full((count,) + arr2.shape[1:], fill, arr2.dtype)]
+        )
+
+    # 1. Per-tile chunk counts to a multiple of `fold` (sentinel chunks).
+    if fold > 1:
+        outs = {k: [] for k in ("lr", "rs", "src", "lc", "tile")}
+        c0 = 0
+        while c0 < C:
+            c1 = c0
+            while c1 < C and chunk_tile[c1] == chunk_tile[c0]:
+                c1 += 1
+            padc = (-(c1 - c0)) % fold
+            outs["lr"].append(pad_rows(lr[c0:c1], Rp, padc))
+            outs["rs"].append(
+                np.concatenate([rs[c0:c1], np.zeros(padc, rs.dtype)])
+            )
+            outs["src"].append(pad_rows(src2[c0:c1], 0, padc))
+            outs["lc"].append(pad_rows(lc2[c0:c1], 0, padc))
+            outs["tile"].append(
+                np.full(c1 - c0 + padc, chunk_tile[c0], chunk_tile.dtype)
+            )
+            c0 = c1
+        lr = np.concatenate(outs["lr"])
+        rs = np.concatenate(outs["rs"])
+        src2 = np.concatenate(outs["src"])
+        lc2 = np.concatenate(outs["lc"])
+        chunk_tile = np.concatenate(outs["tile"])
+        C = lr.shape[0]
+
+    # 2. Chunk-count padding to the kernel group size (appends complete
+    # fold-groups to the LAST tile: (-C) % group is a fold multiple).
+    group = CHUNK_GROUP if C > 8 else 4
+    if fold > 1:
+        group = max(group, fold)
+    padc = (-C) % group
+    if padc:
+        lr = pad_rows(lr, Rp, padc)
+        rs = np.concatenate([rs, np.zeros(padc, rs.dtype)])
+        src2 = pad_rows(src2, 0, padc)
+        lc2 = pad_rows(lc2, 0, padc)
+        chunk_tile = np.concatenate(
+            [chunk_tile,
+             np.full(padc, chunk_tile[-1] if C else 0, chunk_tile.dtype)]
+        )
+        C += padc
+
+    # 3. Fold permutation of the slot arrays (lr/rs stay chunk-major —
+    # the kernel slices the stream, not these).
+    if fold > 1:
+        src_p = src2.reshape(C // fold, fold, E).swapaxes(1, 2).reshape(-1)
+        lc_p = lc2.reshape(C // fold, fold, E).swapaxes(1, 2).reshape(-1)
+        valid_log = (lr < Rp)
+        valid_p = valid_log.reshape(
+            C // fold, fold, E).swapaxes(1, 2).reshape(-1)
+    else:
+        src_p = src2.reshape(-1)
+        lc_p = lc2.reshape(-1)
+        valid_p = (lr < Rp).reshape(-1)
+
+    # 4. Tile slices over the (physically contiguous) chunk runs.
+    tile_slices = []
+    c0 = 0
+    while c0 < C:
+        c1 = c0
+        while c1 < C and chunk_tile[c1] == chunk_tile[c0]:
+            c1 += 1
+        t = int(chunk_tile[c0])
+        tile_slices.append(
+            (t * col_tile, min(col_tile, n - t * col_tile),
+             c0 * E, c1 * E)
+        )
+        c0 = c1
+
+    # 5. CSR-order inverse of the PHYSICAL slot order.
+    es = np.zeros(nedges, np.int32)
+    es[src_p[valid_p] - edge0] = np.flatnonzero(valid_p)
+
+    return TiledPartPlan(
+        src=jnp.asarray(src_p),
+        lcols=jnp.asarray(lc_p),
+        local_rows=jnp.asarray(lr),
+        row_start=jnp.asarray(rs.astype(np.int32)),
+        tile_slices=tuple(tile_slices),
+        row0=row0,
+        m_part=m_part,
+        m_pad=m_pad,
+        rows_per_block=Rp,
+        chunk_nnz=E,
+        max_run=max_run,
+        edge_slot=jnp.asarray(es),
+        edge0=edge0,
+        fold=fold,
+    )
+
+
+
 def build_tiled_plan(
     csr,
     col_tile: Optional[int] = None,
@@ -502,6 +648,7 @@ def build_tiled_plan(
     part_rows: int = 65536,
     k_hint: int = 128,
     minmax_aligned: bool = True,
+    fold: Optional[int] = None,
 ) -> TiledSpmmPlan:
     """Host-side construction of the stream-reduce plan.
 
@@ -587,6 +734,7 @@ def build_tiled_plan(
     if R % 8 or E % 8:
         raise ValueError("rows_per_block and chunk_nnz must be multiples of 8")
 
+    F = _fold_factor(k_hint) if fold is None else max(1, int(fold))
     rows_all = np.repeat(np.arange(m, dtype=np.int32), np.diff(indptr))
     parts = []
     for row0 in range(0, max(m, 1), part_rows):
@@ -630,47 +778,19 @@ def build_tiled_plan(
                 cols_p[safe] - chunk_tile[:, None] * col_tile,
                 0,
             ).astype(np.int32)
-            tile_slices = []
-            c0 = 0
-            while c0 < len(chunk_tile):
-                c1 = c0
-                while c1 < len(chunk_tile) and chunk_tile[c1] == chunk_tile[c0]:
-                    c1 += 1
-                t = int(chunk_tile[c0])
-                tile_slices.append(
-                    (t * col_tile, min(col_tile, n - t * col_tile),
-                     c0 * E, c1 * E)
-                )
-                c0 = c1
-            es = np.zeros(e - s, np.int32)
-            valid_n = (lr_n.reshape(-1) < Rp) if len(rows_p) else (
-                np.zeros(src_n.size, bool)
-            )
-            es[src_n.reshape(-1)[valid_n] - s] = np.flatnonzero(valid_n)
-            parts.append(
-                _group_pad_part(TiledPartPlan(
-                    src=jnp.asarray(src_n.reshape(-1)),
-                    lcols=jnp.asarray(lc_n.reshape(-1)),
-                    local_rows=jnp.asarray(lr_n),
-                    row_start=jnp.asarray(rs_n),
-                    tile_slices=tuple(tile_slices),
-                    row0=row0,
-                    m_part=m_part,
-                    m_pad=m_pad,
-                    rows_per_block=Rp,
-                    chunk_nnz=E,
-                    max_run=max_run,
-                    edge_slot=jnp.asarray(es),
-                    edge0=s,
-                ))
-            )
+            parts.append(_finalize_part(
+                lr_n, rs_n.astype(np.int32), src_n.reshape(-1),
+                lc_n.reshape(-1), np.asarray(chunk_tile),
+                row0=row0, m_part=m_part, m_pad=m_pad, Rp=Rp, E=E,
+                max_run=max_run, edge0=s, nedges=e - s, n=n,
+                col_tile=col_tile, fold=F,
+            ))
             if m == 0:
                 break
             continue
 
         src_slots, lcol_slots = [], []
-        lrow_chunks, rstart_chunks = [], []
-        tile_slices = []
+        lrow_chunks, rstart_chunks, tile_chunks = [], [], []
         tids = np.unique(tile_p)
         bounds = np.searchsorted(tile_p, np.concatenate([tids, [tile_p[-1] + 1]])) if len(tile_p) else np.array([0])
         for ti, t in enumerate(tids):
@@ -697,43 +817,26 @@ def build_tiled_plan(
                 lcol_slots.append(lc)
                 lrow_chunks.append(lr)
                 rstart_chunks.append(r0)
+                tile_chunks.append(int(t))
                 i = j
-            slot1 = len(src_slots) * E
-            col0 = int(t) * col_tile
-            ncols = min(col_tile, n - col0)
-            tile_slices.append((col0, ncols, slot0, slot1))
 
         if not src_slots:  # empty part: one dummy chunk of pure padding
             src_slots.append(np.zeros(E, np.int32))
             lcol_slots.append(np.zeros(E, np.int32))
             lrow_chunks.append(np.full(E, Rp, np.int32))
             rstart_chunks.append(0)
-            tile_slices.append((0, min(col_tile, n), 0, E))
+            tile_chunks.append(0)
 
-        src_flat2 = np.concatenate(src_slots)
-        lr_flat2 = np.stack(lrow_chunks).reshape(-1)
-        es2 = np.zeros(e - s, np.int32)
-        valid2 = lr_flat2 < Rp
-        es2[src_flat2[valid2] - s] = np.flatnonzero(valid2)
-        parts.append(
-            _group_pad_part(TiledPartPlan(
-                src=jnp.asarray(src_flat2),
-                lcols=jnp.asarray(np.concatenate(lcol_slots)),
-                local_rows=jnp.asarray(np.stack(lrow_chunks)),
-                row_start=jnp.asarray(
-                    np.asarray(rstart_chunks, np.int32)
-                ),
-                tile_slices=tuple(tile_slices),
-                row0=row0,
-                m_part=m_part,
-                m_pad=m_pad,
-                rows_per_block=Rp,
-                chunk_nnz=E,
-                max_run=max_run,
-                edge_slot=jnp.asarray(es2),
-                edge0=s,
-            ))
-        )
+        parts.append(_finalize_part(
+            np.stack(lrow_chunks),
+            np.asarray(rstart_chunks, np.int32),
+            np.concatenate(src_slots),
+            np.concatenate(lcol_slots),
+            np.asarray(tile_chunks, np.int64),
+            row0=row0, m_part=m_part, m_pad=m_pad, Rp=Rp, E=E,
+            max_run=max_run, edge0=s, nedges=e - s, n=n,
+            col_tile=col_tile, fold=F,
+        ))
         if m == 0:
             break
 

@@ -69,6 +69,7 @@ def spmm_stream_roofline(
     nnz: int, m: int, k: int, measured_s: float,
     slots: int, n_slabs: int = 1, stream_item: int = 4,
     hbm_gbps: float = 795.0, gather_ns_per_row: float = 2.2,
+    stream_read_ns_per_slot: float = 2.4,
 ) -> Dict[str, float]:
     """Roofline of the IMPLEMENTED two-phase stream algorithm (vs the
     ideal one-pass bound of `spmm_roofline`).
@@ -77,9 +78,14 @@ def spmm_stream_roofline(
     stream to HBM; the Pallas reduce re-reads it.  So the algorithm
     moves ≈ nnz·k (B read) + 2·slots·k·(item/4) (stream write+read)
     f32-equivalents plus the output, and pays the per-slot gather issue
-    cost once per K-slab.  `fraction` against THIS bound isolates kernel
-    inefficiency from the structural cost of the two-phase design; the
-    gap between the two bounds is the fusion headroom (docs/PERF.md).
+    cost once per K-slab.  Round 5: the kernel's stream-read block
+    transfer is additionally DESCRIPTOR-bound below K≈512 — a copy-only
+    kernel measures ~2.4 ns/slot at K ≤ 128 regardless of chunk
+    geometry (docs/PERF.md "the narrow-K stream floor") — so the bound
+    takes that issue floor per slab pass too.  `fraction` against THIS
+    bound isolates kernel inefficiency from the structural cost of the
+    two-phase design; the gap between the two bounds is the fusion
+    headroom (docs/PERF.md).
     """
     bytes_moved = (
         nnz * k * 4                      # B rows through the gather
@@ -87,8 +93,15 @@ def spmm_stream_roofline(
         + m * k * 4                      # output
         + slots * 8 * n_slabs            # slot indices per slab pass
     )
+    # The read-issue floor fades once a slot's stream bytes exceed the
+    # descriptor cost's bandwidth-equivalent (~K>=512 at f32).
+    read_issue_s = slots * n_slabs * max(
+        stream_read_ns_per_slot * 1e-9
+        - (k * stream_item) / (hbm_gbps * 1e9),
+        0.0,
+    ) + bytes_moved / (hbm_gbps * 1e9)
     sol_s = max(
-        bytes_moved / (hbm_gbps * 1e9),
+        read_issue_s,
         slots * n_slabs * gather_ns_per_row * 1e-9,
     )
     flops = 2.0 * nnz * k

@@ -460,8 +460,10 @@ def test_reduce_part_batched_scan_groups(op):
     from gespmm_tpu.kernels.spmm_stream import _reduce_part
 
     csr, mat = random_csr(40, 32, density=0.25, seed=33, binary=True)
+    # fold=1: this test forces arbitrary scan groups, which the folded
+    # stream layout constrains (tests/test_fold.py covers folding).
     adj = Adjacency.from_csr(csr, plan=True, col_tile=8, rows_per_block=8,
-                             chunk_nnz=8, part_rows=40)
+                             chunk_nnz=8, part_rows=40, fold=1)
     part = adj.plan.parts[0]
     rng = np.random.default_rng(33)
     B = jnp.asarray(
