@@ -448,79 +448,6 @@ class TiledSpmmPlan:
 CHUNK_GROUP = 16
 
 
-def _group_pad_part(part: TiledPartPlan, group: int = 0) -> TiledPartPlan:
-    """Pad a part's chunk count to a multiple of `group` with sentinel
-    chunks (pure padding: rows sentinel, slots gather row 0 of the last
-    tile so the contribution stream stays finite).  group=0: CHUNK_GROUP,
-    dropping to 4 for tiny plans (the kernel folds min(C, group) chunks
-    per grid step — padding a 2-chunk plan to 16 would multiply its work
-    8x, which interpret-mode tests pay in full)."""
-    C = part.num_chunks
-    if group == 0:
-        group = CHUNK_GROUP if C > 8 else 4
-    padc = (-C) % group
-    if padc == 0:
-        return part
-    E, R = part.chunk_nnz, part.rows_per_block
-    local_rows = np.concatenate(
-        [np.asarray(part.local_rows), np.full((padc, E), R, np.int32)]
-    )
-    row_start = np.concatenate(
-        [np.asarray(part.row_start), np.zeros(padc, np.int32)]
-    )
-    src = np.concatenate(
-        [np.asarray(part.src), np.zeros(padc * E, np.int32)]
-    )
-    lcols = np.concatenate(
-        [np.asarray(part.lcols), np.zeros(padc * E, np.int32)]
-    )
-    ts = list(part.tile_slices)
-    col0, ncols, s0, s1 = ts[-1]
-    ts[-1] = (col0, ncols, s0, s1 + padc * E)
-    return TiledPartPlan(
-        src=jnp.asarray(src),
-        lcols=jnp.asarray(lcols),
-        local_rows=jnp.asarray(local_rows),
-        row_start=jnp.asarray(row_start),
-        tile_slices=tuple(ts),
-        row0=part.row0,
-        m_part=part.m_part,
-        m_pad=part.m_pad,
-        rows_per_block=R,
-        chunk_nnz=E,
-        max_run=part.max_run,
-        edge_slot=part.edge_slot,  # pads append at the END: slots keep
-        edge0=part.edge0,          # their indices, the inverse map holds
-    )
-
-
-def _align_down(x: int, a: int) -> int:
-    return (x // a) * a
-
-
-def _fold_factor(k_hint: int) -> int:
-    """DMA-row fold for the stream layout — MEASURED OFF (round 5).
-
-    Hypothesis: the reduce kernel's HBM->VMEM stream read is descriptor-
-    bound at narrow K (a copy-only kernel reads an (S, 64) f32 stream at
-    2.4 ns/slot — ~107 GB/s — independent of chunk geometry, K in
-    {64,128}, and accumulator size), so storing F consecutive chunks'
-    slots interleaved (DMA rows F*K wide) should amortize it — and DOES
-    in isolation: 2.39 -> 1.05 ns/slot with a pre-materialized folded
-    stream.  But the win does not survive composition with the gather
-    phase: reshaping the gather's (S, K) output to (S/F, F*K) costs a
-    relayout (rmat16 K=128: 96.7 -> 59.1 GF/s end to end), and
-    producing the folded shape directly via F takes concatenated on the
-    lane axis is slower still (gather+materialize+kernel-read probe:
-    2.50 -> 3.3-4.1 ns/slot).  Folding therefore defaults OFF and
-    remains an explicit opt-in (`build_tiled_plan(fold=...)`, covered by
-    tests/test_fold.py) for future runtimes where the layout economics
-    may differ.
-    """
-    del k_hint
-    return 1
-
-
 def _finalize_part(
     lr, rs, src_flat, lc_flat, chunk_tile,
     *, row0, m_part, m_pad, Rp, E, max_run, edge0, nedges, n, col_tile,

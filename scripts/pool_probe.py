@@ -37,7 +37,7 @@ def bench(label, step, x0):
     print(f"| {label} | {r.median_s * 1e3:.3f} |", flush=True)
 
 
-print("# SAGE-pool cost decomposition — pubmed, dims [128,16,3] (round 4)")
+print("# SAGE-pool cost decomposition — pubmed, dims [128,16,3] (round 5)")
 print()
 print("| component | ms |")
 print("|---|---|")
@@ -126,21 +126,18 @@ Canonical epoch number: bench_results/sage_pool_epoch.json (the
 train loop the A/B uses); the chained-step row above carries its own
 fori_loop harness overhead.
 
-## Where the pool epoch floor is (round-4 analysis)
+## Round-5: the scan-free row-aligned layout landed
 
-The step = 2x max fwd+bwd (one per layer, at K=128 and K=16) + the dense
-rest (~0.85 ms, = the mean-aggregator step minus its sum-SpMM).  The max
-fwd costs ~0.72 ms AT BOTH widths — it is not throughput-bound but
-scan-step-bound: pubmed's hub row (degree 172 after self-loops) forces
-the full ceil(log2(E)) = 8 shift steps of the in-kernel segmented scan,
-and each step rewrites the whole slot stream.  Round-4 changes that
-landed: the scan stops at the plan's measured longest run (`max_run` —
-no-op for pubmed's 172, large for banded/low-degree graphs), the VJP's
-weight stream reduces in hilo (2 MXU passes), and ties emitted by the
-forward keep the backward at one stream.  Tried and rejected: a batched
-whole-window flag-scan (slower — key/flag traffic exceeded the per-chunk
-savings; see kernels/spmm_stream.py), the XLA segment path (fwd+grad
-3.4 ms), larger/smaller chunk sizes (flat 0.70-0.97).  Remaining
-structural lever: a row-aligned slot layout that replaces the shift-scan
-with one reshape-reduce (costs ~45% slot padding on pubmed).
+Round 4 located the floor in the max-reduce SpMM: the in-kernel
+segmented scan paid ceil(log2(hub degree)) = 8 full-stream shift passes
+at BOTH feature widths (~0.72 ms per max forward).  Round 5 replaced it
+for single-table graphs with the row-aligned layout
+(`sparse/partition.AlignedMinmaxPlan`): degree-class reshape-reduce
+fused with the gather, inverse-permutation scatter, hierarchical tie
+counts — kernel-free forward — plus a one-gather aligned VJP over the
+transpose layout (`spmm_minmax_vjp_aligned`).  Measured on pubmed: max
+fwd 0.72 -> 0.39 ms at K in {16, 128} (exact vs float64), fwd+bwd
+1.71 -> 1.23 (K=128) and 1.52 -> 1.07 (K=16); the pool epoch met the
+<= 2.5 ms target.  Multi-tile-scale graphs keep the scan kernel (the
+aligned layout needs the whole-operand table in the fast gather tier).
 """)
