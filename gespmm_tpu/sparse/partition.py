@@ -448,6 +448,29 @@ class TiledSpmmPlan:
 CHUNK_GROUP = 16
 
 
+def _fold_factor(k_hint: int) -> int:
+    """DMA-row fold for the stream layout — MEASURED OFF (round 5).
+
+    Hypothesis: the reduce kernel's HBM->VMEM stream read is descriptor-
+    bound at narrow K (a copy-only kernel reads an (S, 64) f32 stream at
+    2.4 ns/slot — ~107 GB/s — independent of chunk geometry, K in
+    {64,128}, and accumulator size), so storing F consecutive chunks'
+    slots interleaved (DMA rows F*K wide) should amortize it — and DOES
+    in isolation: 2.39 -> 1.05 ns/slot with a pre-materialized folded
+    stream.  But the win does not survive composition with the gather
+    phase: reshaping the gather's (S, K) output to (S/F, F*K) costs a
+    relayout (rmat16 K=128: 96.7 -> 59.1 GF/s end to end), and
+    producing the folded shape directly via F takes concatenated on the
+    lane axis is slower still (gather+materialize+kernel-read probe:
+    2.50 -> 3.3-4.1 ns/slot).  Folding therefore defaults OFF and
+    remains an explicit opt-in (`build_tiled_plan(fold=...)`, covered by
+    tests/test_fold.py) for future runtimes where the layout economics
+    may differ.
+    """
+    del k_hint
+    return 1
+
+
 def _finalize_part(
     lr, rs, src_flat, lc_flat, chunk_tile,
     *, row0, m_part, m_pad, Rp, E, max_run, edge0, nedges, n, col_tile,
